@@ -1,0 +1,202 @@
+"""Copy-on-write MERGE INTO for lake tables.
+
+The single join-shaped physical operator the engine needs (SURVEY.md §2.4):
+the reference's whole write path — upsert (`INSERT ... ON DUPLICATE KEY
+UPDATE`, MysqlWriteRecorder.java:60-65), insert-ignore (:67-81), partial
+update (NormalWriteRecorder.java:305-357), delete-by-PK (:378-427), policy
+dispatch (WritePolicyEnum.java) — collapses into one MERGE per micro-batch
+applied to the bucket-partitioned lake table.
+
+Physical strategy (designed for the 100 TB / small-micro-batch case):
+
+- Bucket pruning first: only buckets containing batch keys are read and
+  rewritten; all other data files carry over into the new snapshot
+  untouched (metadata-only).
+- Small batch (the normal CDC case): the target side NEVER shuffles.
+    matched  = target ⋉ broadcast(batch keys)   (broadcast semi join)
+    kept     = target ▷ broadcast(batch keys)   (broadcast anti join)
+    changed  = batch ⟕ matched                  (both sides small)
+  One stream-through scan of the touched buckets, zero target shuffles —
+  the batch is the thing that moves, which is the only strategy that
+  survives a 100 TB target.
+- Large batch (initial snapshot load): falls back to a plain outer join
+  and lets Catalyst/AQE pick sort-merge + skew splitting.
+
+Exactly-once / ordering guard: a matched row is modified only when the
+batch's fold order `(warc_ts, event_seq)` is strictly newer than the row's
+stored `(warc_ts, _event_seq)` — the reference's exactlyOnceId redelivery
+dedup (MysqlReader.java:851-854) + Hudi's precombine-on-UPSERT ordering
+(HuDiWriteBySparkClient.java, SURVEY.md §2.8) in one rule. Deletes write
+tombstones (key + order retained, payload nulled) so stale pre-delete
+redeliveries cannot resurrect a row.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from tapdata_connectors_spark.lake.table import LakeTable, type_of
+from tapdata_connectors_spark.operators.dedup import ColumnSpec
+from tapdata_connectors_spark.plans.policies import DEFAULT_POLICY, WritePolicy
+from tapdata_connectors_spark.schema import SEQ_COL, TOMBSTONE_COL
+
+BROADCAST_BATCH_ROWS = 2_000_000  # below this, use the no-target-shuffle plan
+
+# derived column: (output_col, source_payload_col, fn(Column) -> Column)
+DerivedSpec = tuple[str, str, Callable[[Column], Column]]
+
+
+def merge_into(
+    table: LakeTable,
+    deduped: DataFrame,
+    payload: list[ColumnSpec],
+    policy: WritePolicy = DEFAULT_POLICY,
+    derived: list[DerivedSpec] | None = None,
+    epoch_key: str | None = None,
+    epoch_hash: str = "",
+) -> dict:
+    """Apply one deduped micro-batch (lww_fold output) to the table.
+
+    Returns merge metrics {merge_added, merge_updated, merge_deleted,
+    n_ignored, n_stale, version}. Idempotent when epoch_key is given:
+    an already-applied epoch is a no-op (the manifest's applied_epochs
+    guard — exactly-once effect under micro-batch re-delivery).
+    """
+    if epoch_key is not None and table.epoch_applied(epoch_key):
+        return {"merge_added": 0, "merge_updated": 0, "merge_deleted": 0,
+                "n_ignored": 0, "n_stale": 0, "version": table.current_version(),
+                "skipped": True}
+
+    m = table.manifest()
+    key = m.key
+    derived = derived or []
+    derived_by_src = {src: (out, fn) for out, src, fn in derived}
+    pay_names = [c.name for c in payload]
+    logical_cols = [f.name for f in m.fields]
+
+    b = deduped.withColumn("_mb", table.bucket_expr(key)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    touched = {r["_mb"] for r in b.select("_mb").distinct().collect()}
+    b_rows = b.count()
+
+    t = table.read_raw(buckets=sorted(touched)).withColumn("_tb", table.bucket_expr(key))
+
+    small = b_rows <= BROADCAST_BATCH_ROWS
+    bkeys = b.select(key)
+    # target columns are consumed under _t_ aliases to avoid name clashes
+    t_sel = [F.col(key)] + [F.col(n).alias(f"_t_{n}") for n in logical_cols if n != key] + [
+        F.col(SEQ_COL).alias(f"_t{SEQ_COL}"),
+        F.col(TOMBSTONE_COL).alias(f"_t{TOMBSTONE_COL}"),
+    ]
+    if small:
+        # no-target-shuffle plan: semi/anti with broadcast batch keys
+        t_matched = t.join(F.broadcast(bkeys), key, "left_semi")
+        kept = t.join(F.broadcast(bkeys), key, "left_anti")
+        joined = b.join(t_matched.select(*t_sel), key, "left_outer")
+    else:
+        kept = t.join(bkeys, key, "left_anti")
+        joined = b.join(t.select(*t_sel), key, "left_outer")
+
+    # ---- disposition --------------------------------------------------
+    b_ord = F.struct(F.col("_final_ts").alias("ts"), F.col("_final_seq").alias("seq"))
+    op = F.col("_final_op")
+    t_exists = F.col(f"_t{SEQ_COL}").isNotNull()
+    t_live = t_exists & ~F.coalesce(F.col(f"_t{TOMBSTONE_COL}"), F.lit(False))
+    t_ord = F.struct(F.col("_t_warc_ts").alias("ts"), F.col(f"_t{SEQ_COL}").alias("seq"))
+    stale = t_exists & (b_ord <= t_ord)
+    action = (
+        F.when(stale, F.lit("stale"))
+        .when(op == "D", F.lit("delete"))
+        .when(op == "I", F.when(t_live & F.lit(not policy.insert_updates_existing), F.lit("ignore"))
+                          .when(t_live, F.lit("update"))
+                          .otherwise(F.lit("insert")))
+        .otherwise(
+            F.when(t_live, F.lit("update"))
+            .when(F.lit(policy.update_inserts_missing), F.lit("insert"))
+            .when(t_exists, F.lit("stale"))
+            .otherwise(F.lit("drop"))
+        )
+    )
+    joined = joined.withColumn("_action", action)
+
+    final_cols: list[Column] = [F.col(key)]
+    keepish = F.col("_action").isin("stale", "ignore")
+    for c in payload:
+        ty = type_of(c.type)
+        b_val = F.col(c.name)
+        t_val = F.col(f"_t_{c.name}")
+        setf = F.col(f"__set_{c.name}")
+        new_val = (
+            F.when(keepish, t_val)
+            .when(F.col("_action") == "delete",
+                  F.col("_final_ts").cast(ty) if c.name == "warc_ts" else F.lit(None).cast(ty))
+            .when(F.col("_action") == "insert", b_val)
+            .when(F.col("_action") == "update", F.when(setf, b_val).otherwise(t_val))
+            .otherwise(F.lit(None).cast(ty))
+        )
+        final_cols.append(new_val.alias(c.name))
+        if c.name in derived_by_src:
+            out_name, fn = derived_by_src[c.name]
+            fresh = (
+                (F.col("_action") == "insert")
+                | ((F.col("_action") == "update") & setf)
+            )
+            # UDF sees null input for rows that keep their old derived value
+            # (vectorized cost ∝ actually-changed rows)
+            new_derived = fn(F.when(fresh, new_val))
+            final_cols.append(
+                F.when(fresh, new_derived)
+                .when(keepish | (F.col("_action") == "update"), F.col(f"_t_{out_name}"))
+                .otherwise(F.lit(None).cast("string"))
+                .alias(out_name)
+            )
+    final_cols += [
+        F.when(keepish, F.col(f"_t{SEQ_COL}")).otherwise(F.col("_final_seq")).alias(SEQ_COL),
+        F.when(keepish, F.coalesce(F.col(f"_t{TOMBSTONE_COL}"), F.lit(False)))
+        .otherwise(F.col("_action") == "delete")
+        .alias(TOMBSTONE_COL),
+        F.col("_action"),
+        F.col("_mb"),
+    ]
+
+    changed = joined.select(*final_cols).filter(F.col("_action") != "drop").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = {r["_action"]: r["cnt"] for r in
+              changed.groupBy("_action").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    # ---- assemble the new snapshot for touched buckets ----------------
+    order = [key] + [n for n in logical_cols if n != key] + [SEQ_COL, TOMBSTONE_COL, "_mb"]
+    kept_out = kept.select(
+        *[F.col(n) for n in logical_cols], F.col(SEQ_COL), F.col(TOMBSTONE_COL),
+        F.col("_tb").alias("_mb"),
+    ).select(*order)
+    changed_out = changed.drop("_action").select(*order)
+    result = kept_out.unionByName(changed_out)
+
+    entries = table.write_data_files(result, "_mb")
+    metrics = {
+        "merge_added": counts.get("insert", 0),
+        "merge_updated": counts.get("update", 0),
+        "merge_deleted": counts.get("delete", 0),
+        "n_ignored": counts.get("ignore", 0),
+        "n_stale": counts.get("stale", 0),
+    }
+    version = table.commit_files(
+        entries,
+        replaced_buckets=touched,
+        epoch_key=epoch_key,
+        epoch_hash=epoch_hash,
+        summary={"op": "merge", **metrics, "batch_rows": b_rows,
+                 "wall_ms": int(time.time() * 1000)},
+    )
+    metrics["version"] = version
+    b.unpersist()
+    changed.unpersist()
+    return metrics

@@ -1,0 +1,379 @@
+"""Manifest-versioned copy-on-write parquet table ("lake table").
+
+Design (Iceberg-shaped, implemented from scratch on public Spark APIs):
+
+- A table is a directory:
+      <dir>/_manifests/v{N}.json     immutable snapshot manifests
+      <dir>/_manifests/CURRENT       atomic pointer to the live version
+      <dir>/data/...                 immutable parquet data files
+- A manifest lists data files with, per file, the physical column layout
+  (field_id -> physical name / physical type at write time). The logical
+  schema is a list of (field_id, name, type); schema evolution mutates the
+  logical schema only — old files are read through the field-id mapping
+  (rename is metadata-only; type widening casts on read; added columns are
+  null for old files). This is Iceberg's name-mapping idea re-done small.
+- Buckets: data files are hash-bucketed on the merge key
+  (pmod(xxhash64(key), n_buckets)), the analog of Iceberg's
+  `bucket(N, url)` partition transform and of the reference's
+  CRC32-mod hash-split scan (CommonDbConnector.java:612-674,
+  MysqlConnector.java:600-609). MERGE rewrites only touched buckets.
+- Commits are atomic: write v{N+1}.json, then os.replace() the CURRENT
+  pointer (single-writer; on a real deployment this would be a CAS on an
+  object-store conditional put or a catalog — noted, out of sandbox scope).
+- applied_epochs lives in the manifest: the idempotence guard for
+  re-driven micro-batch epochs (exactly-once effect — SURVEY.md §2.11).
+
+Scale: manifests carry O(#files) JSON; at 100 TB with 512 MB files that is
+~200k entries — fine for driver-side JSON, and bucket pruning means a MERGE
+plan only enumerates the touched subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tapdata_connectors_spark.schema import HIDDEN_COLS, SEQ_COL, TOMBSTONE_COL
+
+# --- type name <-> Spark type (the engine's supported scalar surface;
+#     reference analog: dataTypes maps in *-spec.json, SURVEY.md §1.2) ------
+_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "smallint": T.ShortType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+# legal widenings (Iceberg-compatible set)
+_WIDEN_OK = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("float", "double"),
+}
+
+
+def type_of(name: str) -> T.DataType:
+    name = name.lower()
+    if name in _TYPES:
+        return _TYPES[name]
+    if name.startswith("decimal"):
+        p, s = name[name.find("(") + 1 : name.find(")")].split(",")
+        return T.DecimalType(int(p), int(s))
+    raise ValueError(f"unsupported lake type: {name}")
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str  # simpleString
+    nullable: bool = True
+
+
+@dataclass
+class Manifest:
+    version: int
+    fields: list[Field]
+    key: str
+    n_buckets: int
+    files: list[dict]  # {path, bucket, columns: {id->phys name}, types: {id->phys type}}
+    applied_epochs: dict[str, str] = field(default_factory=dict)
+    next_field_id: int = 0
+    summary: dict = field(default_factory=dict)
+    parent: int | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "fields": [vars(f) for f in self.fields],
+                "key": self.key,
+                "n_buckets": self.n_buckets,
+                "files": self.files,
+                "applied_epochs": self.applied_epochs,
+                "next_field_id": self.next_field_id,
+                "summary": self.summary,
+                "parent": self.parent,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            fields=[Field(**f) for f in d["fields"]],
+            key=d["key"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            applied_epochs=d.get("applied_epochs", {}),
+            next_field_id=d.get("next_field_id", 0),
+            summary=d.get("summary", {}),
+            parent=d.get("parent"),
+        )
+
+
+class LakeTable:
+    """Handle on a lake table directory. Cheap to construct; re-reads the
+    CURRENT pointer lazily so it always sees the latest committed snapshot."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ---------------- catalog primitives ----------------
+    @property
+    def _mdir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self._mdir, "CURRENT"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self._mdir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._mdir, f"v{v}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def _commit(self, m: Manifest) -> None:
+        """Atomic snapshot commit: manifest file then CURRENT pointer swap."""
+        os.makedirs(self._mdir, exist_ok=True)
+        mpath = os.path.join(self._mdir, f"v{m.version}.json")
+        with open(mpath, "w") as f:
+            f.write(m.to_json())
+        tmp = os.path.join(self._mdir, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(m.version))
+        os.replace(tmp, os.path.join(self._mdir, "CURRENT"))
+
+    # ---------------- DDL ----------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        fields: list[tuple[str, str]],  # (name, simpleString type)
+        key: str,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if t.exists():
+            raise FileExistsError(path)
+        flds = [Field(i + 1, n, ty) for i, (n, ty) in enumerate(fields)]
+        m = Manifest(
+            version=0,
+            fields=flds,
+            key=key,
+            n_buckets=n_buckets,
+            files=[],
+            next_field_id=len(flds) + 1,
+            summary={"op": "create", "ts_ms": int(time.time() * 1000)},
+        )
+        t._commit(m)
+        return t
+
+    def add_column(self, name: str, type_: str, epoch_key: str | None = None) -> None:
+        """TapNewFieldEvent analog (MysqlAddColumnDDLWrapper.java:35-98) →
+        metadata-only ALTER TABLE ADD COLUMN. `epoch_key` makes DDL replay
+        idempotent (re-driven epoch after a crash is a no-op)."""
+        m = self.manifest()
+        if epoch_key is not None and epoch_key in m.applied_epochs:
+            return
+        if any(f.name == name for f in m.fields):
+            raise ValueError(f"column exists: {name}")
+        type_of(type_)  # validate
+        m.fields.append(Field(m.next_field_id, name, type_))
+        m.next_field_id += 1
+        self._commit_ddl(m, {"op": "add_column", "column": name, "type": type_}, epoch_key)
+
+    def rename_column(self, old: str, new: str, epoch_key: str | None = None) -> None:
+        """TapAlterFieldNameEvent analog (MysqlAlterColumnNameDDLWrapper.java)
+        → metadata-only rename; old files resolve through field ids."""
+        m = self.manifest()
+        if epoch_key is not None and epoch_key in m.applied_epochs:
+            return
+        f = self._field(m, old)
+        if any(x.name == new for x in m.fields):
+            raise ValueError(f"column exists: {new}")
+        f.name = new
+        self._commit_ddl(m, {"op": "rename_column", "from": old, "to": new}, epoch_key)
+
+    def widen_column(self, name: str, new_type: str, epoch_key: str | None = None) -> None:
+        """TapAlterFieldAttributesEvent type-widen analog
+        (MysqlAlterColumnAttrsDDLWrapper.java); only lossless widenings."""
+        m = self.manifest()
+        if epoch_key is not None and epoch_key in m.applied_epochs:
+            return
+        f = self._field(m, name)
+        if f.type != new_type and (f.type, new_type) not in _WIDEN_OK:
+            raise ValueError(f"illegal widen {f.type} -> {new_type} for {name}")
+        f.type = new_type
+        self._commit_ddl(m, {"op": "widen_column", "column": name, "type": new_type}, epoch_key)
+
+    def _commit_ddl(self, m: Manifest, summary: dict, epoch_key: str | None) -> None:
+        if epoch_key is not None:
+            m.applied_epochs[epoch_key] = "ddl"
+        m.version += 1
+        m.parent = m.version - 1
+        m.summary = summary
+        self._commit(m)
+
+    @staticmethod
+    def _field(m: Manifest, name: str) -> Field:
+        for f in m.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    # ---------------- read path ----------------
+    def schema(self, version: int | None = None) -> T.StructType:
+        m = self.manifest(version)
+        return T.StructType(
+            [T.StructField(f.name, type_of(f.type), f.nullable) for f in m.fields]
+        )
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        m = self.manifest()
+        return F.pmod(F.xxhash64(F.col(col or m.key)), F.lit(m.n_buckets)).cast("int")
+
+    def read_raw(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Snapshot read including hidden engine columns and tombstones.
+
+        Files are grouped by identical physical layout; each group is read
+        in one `spark.read.parquet(*paths)` (so Spark still plans splits,
+        pushdown and pruning per group), mapped id->current name with
+        casts, then unioned by name. Missing columns (pre-ADD files) come
+        back as typed nulls.
+        """
+        m = self.manifest(version)
+        files = m.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+
+        logical = [(f.id, f.name, f.type) for f in m.fields]
+        hidden = [(-1, SEQ_COL, "bigint"), (-2, TOMBSTONE_COL, "boolean")]
+        want = logical + hidden
+
+        empty = self.spark.createDataFrame([], self._raw_schema(m))
+        if not files:
+            return empty
+
+        groups: dict[str, list[dict]] = {}
+        for fi in files:
+            sig = json.dumps([fi["columns"], fi["types"]], sort_keys=True)
+            groups.setdefault(sig, []).append(fi)
+
+        parts: list[DataFrame] = []
+        for grp in groups.values():
+            cols = {int(k): v for k, v in grp[0]["columns"].items()}
+            df = self.spark.read.parquet(*[os.path.join(self.path, g["path"]) for g in grp])
+            sel = []
+            for fid, name, ty in want:
+                if fid in cols:
+                    sel.append(F.col(cols[fid]).cast(type_of(ty)).alias(name))
+                elif fid == -2:
+                    # legacy/no tombstone column -> live rows
+                    sel.append(F.lit(False).alias(name))
+                else:
+                    sel.append(F.lit(None).cast(type_of(ty)).alias(name))
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """User-visible snapshot: tombstones filtered, hidden columns dropped."""
+        df = self.read_raw(version)
+        return df.filter(~F.col(TOMBSTONE_COL)).drop(*HIDDEN_COLS)
+
+    def _raw_schema(self, m: Manifest) -> T.StructType:
+        flds = [T.StructField(f.name, type_of(f.type), True) for f in m.fields]
+        flds += [
+            T.StructField(SEQ_COL, T.LongType(), True),
+            T.StructField(TOMBSTONE_COL, T.BooleanType(), True),
+        ]
+        return T.StructType(flds)
+
+    # ---------------- write path (used by merge.py) ----------------
+    def write_data_files(self, df: DataFrame, bucket_col: str) -> list[dict]:
+        """Write df as new immutable data files partitioned by bucket; return
+        manifest file entries. df must already contain all logical columns
+        (current names) + hidden columns + `bucket_col`."""
+        m = self.manifest()
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", f"c{commit_id}")
+        out_dir = os.path.join(self.path, rel)
+        (
+            df.withColumn("__bucket", F.col(bucket_col).cast("int"))
+            .write.partitionBy("__bucket")
+            .parquet(out_dir, mode="overwrite")
+        )
+        columns = {str(f.id): f.name for f in m.fields}
+        columns.update({"-1": SEQ_COL, "-2": TOMBSTONE_COL})
+        types = {str(f.id): f.type for f in m.fields}
+        types.update({"-1": "bigint", "-2": "boolean"})
+        entries: list[dict] = []
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith("__bucket="):
+                continue
+            b = int(bdir.split("=")[1])
+            for fn in os.listdir(os.path.join(out_dir, bdir)):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "path": os.path.join(rel, bdir, fn),
+                            "bucket": b,
+                            "columns": columns,
+                            "types": types,
+                        }
+                    )
+        return entries
+
+    def commit_files(
+        self,
+        new_entries: list[dict],
+        replaced_buckets: set[int] | None = None,
+        epoch_key: str | None = None,
+        epoch_hash: str = "",
+        summary: dict | None = None,
+    ) -> int:
+        """Commit a COW snapshot: keep files outside replaced_buckets, add
+        new entries, optionally record an applied epoch. Returns version."""
+        m = self.manifest()
+        keep = (
+            [f for f in m.files if f["bucket"] not in replaced_buckets]
+            if replaced_buckets
+            else list(m.files)
+        )
+        m.files = keep + new_entries
+        if epoch_key is not None:
+            m.applied_epochs[epoch_key] = epoch_hash
+        m.version += 1
+        m.parent = m.version - 1
+        m.summary = {**(summary or {}), "ts_ms": int(time.time() * 1000)}
+        self._commit(m)
+        return m.version
+
+    def epoch_applied(self, epoch_key: str) -> bool:
+        return epoch_key in self.manifest().applied_epochs

@@ -1,0 +1,164 @@
+"""Last-writer-wins per-key fold of a CDC micro-batch.
+
+Collapses all DML events of one batch to a single row per primary key, in a
+SINGLE shuffle (one groupBy; every fold is an order-aware aggregate built
+from `max_by` over the total LWW order `(warc_ts, event_seq)` — the north
+rule's dedup key). No window sort, no Python.
+
+Semantics reproduced from the reference (observable behavior, not code):
+
+- Events apply in source order per key; a later write to the same PK
+  overwrites the earlier one (`INSERT ... ON DUPLICATE KEY UPDATE
+  c=VALUES(c)` — reference MysqlWriteRecorder.java:60-65; ClickHouse
+  ReplacingMergeTree is the same LWW shape, ClickhouseConnector.java:273).
+- Inserts carry a full row image: an insert applied over an existing row
+  resets every column to the insert's values.
+- Updates carry a partial after-image: a null column means "unchanged"
+  (partial-update elision, reference DbKit.java:177-202); setting a column
+  to NULL explicitly is expressed via `removed_fields` (Mongo
+  removedFields — MongodbV4StreamReader.java:317-335).
+- Duplicate deliveries (same exactly_once_id, identical event) are
+  neutralized for free: identical rows cannot change a max_by outcome
+  (reference dedups via exactlyOnceId — MysqlReader.java:851-854); the
+  distinct-id count still feeds the lineage metric n_dupes_dropped.
+- A delete resets the row: values set before the latest delete never leak
+  into a state materialized after it.
+
+Output per key:
+  <key>, _final_seq, _final_ts, _final_op ('I'|'U'|'D'),
+  one value column per payload column (current names),
+  one `__set_<col>` boolean per payload column (false = "leave target
+  value unchanged" for updates),
+  _n_events, _n_i, _n_u, _n_d  (lineage inputs).
+
+`_final_op` distinguishes insert-vs-update for write policies: it is 'I'
+iff an insert occurred at-or-after the latest delete (the row is being
+(re)created), 'D' iff the latest event is a delete, else 'U'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tapdata_connectors_spark.lake.table import type_of
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One payload column as seen by the fold.
+
+    source = 'image'  -> lives in the typed after/before structs
+    source = 'extras' -> added by DDL after the staging schema was fixed;
+                         delivered as strings in the `extras` map (how a
+                         binlog carries columns unknown to the consumer)
+
+    `name` is the column's CURRENT logical name (post-renames);
+    `field_ref` is the physical accessor — the fixed field name inside the
+    staging `after` struct for image columns (renames are logical-only),
+    or the extras-map key (events use the name current at their log
+    position; the DDL barrier guarantees the map key equals `name` for
+    every event folded under this spec).
+    """
+
+    name: str
+    type: str  # spark simpleString
+    source: str = "image"  # 'image' | 'extras'
+    field_ref: str | None = None
+
+    @property
+    def ref(self) -> str:
+        return self.field_ref or self.name
+
+
+ORD = "_ord"  # struct(warc_ts, event_seq): the total LWW order
+
+
+def _ord_col() -> F.Column:
+    return F.struct(
+        F.col("warc_ts").alias("ts"), F.col("event_seq").alias("seq")
+    )
+
+
+def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
+    """Fold DML events (op ∈ I/U/D) to one row per key. One shuffle."""
+    ev = events.withColumn(ORD, _ord_col())
+
+    aggs: list[F.Column] = [
+        F.max("event_seq").alias("_final_seq"),
+        F.min("event_seq").alias("_min_seq"),
+        # approximate duplicate-delivery count (HLL is algebraic, so it
+        # keeps map-side partial agg; exact distinct would re-skew hot keys)
+        (
+            F.count(F.lit(1)) - F.approx_count_distinct("event_seq")
+        ).alias("_n_dupes_approx"),
+        F.max_by("warc_ts", F.col(ORD)).alias("_final_ts"),
+        F.max_by("op", F.col(ORD)).alias("_last_op"),
+        F.max(F.when(F.col("op") == "D", F.col(ORD))).alias("_last_del"),
+        F.max(F.when(F.col("op") == "I", F.col(ORD))).alias("_last_ins"),
+        F.count(F.lit(1)).alias("_n_events"),
+        # NOTE: no count_distinct here — every aggregate in this fold is
+        # algebraic so Spark's map-side partial aggregation absorbs hot-key
+        # skew (a Zipf-hot url contributes one partial row per map task,
+        # not one row per event). Duplicate-delivery counting (which needs
+        # a distinct) happens once per batch in the lineage step instead.
+        F.sum((F.col("op") == "I").cast("long")).alias("_n_i"),
+        F.sum((F.col("op") == "U").cast("long")).alias("_n_u"),
+        F.sum((F.col("op") == "D").cast("long")).alias("_n_d"),
+    ]
+
+    for c in payload:
+        removed = F.array_contains(F.coalesce(F.col("removed_fields"), F.array()), c.name)
+        if c.source == "image":
+            raw_val = F.col(f"after.{c.ref}").cast(type_of(c.type))
+            mentioned = F.col(f"after.{c.ref}").isNotNull() | removed
+        else:
+            raw_val = F.element_at(F.col("extras"), c.ref).cast(type_of(c.type))
+            mentioned = (
+                F.coalesce(F.map_contains_key(F.col("extras"), c.ref), F.lit(False))
+                | removed
+            )
+        # insert = full image: every column is set (possibly to null);
+        # update sets only mentioned columns.
+        is_set = (F.col("op") == "I") | ((F.col("op") == "U") & mentioned)
+        val = F.when(removed, F.lit(None).cast(type_of(c.type))).otherwise(raw_val)
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(ORD).alias("o"), val.alias("v")),
+                F.when(is_set, F.col(ORD)),
+            ).alias(f"_p_{c.name}")
+        )
+
+    g = ev.groupBy(key).agg(*aggs)
+
+    # a column's fold is live only if it was last set at-or-after the
+    # latest delete (delete resets the row)
+    sel: list[F.Column] = [
+        F.col(key),
+        F.col("_final_seq"),
+        F.col("_min_seq"),
+        F.col("_n_dupes_approx"),
+        F.col("_final_ts"),
+        F.when(F.col("_last_op") == "D", F.lit("D"))
+        .when(
+            F.col("_last_ins").isNotNull()
+            & (F.col("_last_del").isNull() | (F.col("_last_ins") >= F.col("_last_del"))),
+            F.lit("I"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("_final_op"),
+        F.col("_n_events"),
+        F.col("_n_i"),
+        F.col("_n_u"),
+        F.col("_n_d"),
+    ]
+    for c in payload:
+        p = F.col(f"_p_{c.name}")
+        live = p.isNotNull() & (
+            F.col("_last_del").isNull() | (p["o"] >= F.col("_last_del"))
+        )
+        sel.append(F.when(live, p["v"]).otherwise(F.lit(None).cast(type_of(c.type))).alias(c.name))
+        sel.append(live.alias(f"__set_{c.name}"))
+    return g.select(*sel)

@@ -1,0 +1,300 @@
+"""End-to-end CDC ingest pipeline: staged events → lake table state.
+
+The Spark re-expression of the reference's engine↔connector replication loop
+(SURVEY.md §3): snapshot load (`batchRead`, CommonDbConnector.java:579-606),
+change-stream consumption (`streamRead`/consumeRecords, MysqlReader.java:
+223-401,501-531) and target apply (`writeRecord`, MysqlConnector.java:
+475-508) become:
+
+    readStream/read on the epoch-partitioned staging area
+      → per epoch: DDL-barrier split (schema evolution applied in source
+        order BEFORE any later DML — the north rule's ordering requirement)
+      → last-writer-wins fold (one shuffle)
+      → HTML→text Arrow UDF on actually-changed rows only
+      → copy-on-write MERGE with bucket pruning + idempotence guard
+      → lineage row (offset range, event counts, merge stats)
+
+Exactly-once: Structured Streaming checkpoints give at-least-once epoch
+delivery; the manifest's applied_epochs guard + the deterministic fold make
+re-delivery a no-op, so the end-to-end effect is exactly-once (the
+reference's offset-commit + exactlyOnceId protocol, SURVEY.md §2.11).
+Kill the job after epoch k, restart, and the final state is identical
+(fixture F11).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from tapdata_connectors_spark.functions.text_extract import extract_text_udf
+from tapdata_connectors_spark.lake.merge import merge_into
+from tapdata_connectors_spark.lake.table import LakeTable
+from tapdata_connectors_spark.operators.dedup import ColumnSpec, lww_fold
+from tapdata_connectors_spark.plans.policies import DEFAULT_POLICY, WritePolicy
+from tapdata_connectors_spark.schema import (
+    EVENTS_SCHEMA,
+    LINEAGE_SCHEMA,
+    PAGES_FIELDS,
+    SEQ_COL,
+)
+
+# image-struct physical fields by field id at CREATE time (renames of these
+# logical columns keep resolving into the fixed staging struct)
+_BASE_IMAGE_REFS = {"warc_ts": "warc_ts", "html": "html", "lang": "lang"}
+_DERIVED = {"text": "html"}  # text is derived from html, never folded
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        staging_path: str,
+        lineage_path: str | None = None,
+        policy: WritePolicy = DEFAULT_POLICY,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.staging_path = staging_path
+        self.lineage_path = lineage_path or os.path.join(table_path, "_lineage")
+        self.policy = policy
+        self.n_buckets = n_buckets
+        self.table = LakeTable(spark, table_path)
+
+    # ------------------------------------------------------------------
+    def init_table(self) -> LakeTable:
+        if not self.table.exists():
+            self.table = LakeTable.create(
+                self.spark,
+                self.table_path,
+                fields=[(n, t.simpleString()) for n, t, _ in PAGES_FIELDS],
+                key="url",
+                n_buckets=self.n_buckets,
+            )
+        return self.table
+
+    def payload_specs(self) -> list[ColumnSpec]:
+        """Current-schema fold specs: base image columns resolve by field id
+        into the fixed staging struct; DDL-added columns come from extras."""
+        m = self.table.manifest()
+        id_to_base = {}  # field id -> staging struct field
+        for i, (n, _t, _nul) in enumerate(PAGES_FIELDS):
+            if n in _BASE_IMAGE_REFS:
+                id_to_base[i + 1] = _BASE_IMAGE_REFS[n]
+        specs: list[ColumnSpec] = []
+        for f in m.fields:
+            if f.name == m.key or f.name in _DERIVED:
+                continue
+            if f.id in id_to_base:
+                specs.append(ColumnSpec(f.name, f.type, "image", id_to_base[f.id]))
+            elif f.id <= len(PAGES_FIELDS):
+                continue  # a renamed derived/key col — not foldable
+            else:
+                specs.append(ColumnSpec(f.name, f.type, "extras"))
+        return specs
+
+    def _derived_specs(self):
+        m = self.table.manifest()
+        names = {f.name for f in m.fields}
+        out = []
+        if "text" in names:
+            out.append(("text", self._current_name_of(3), lambda c: extract_text_udf(c)))
+        return out
+
+    def _current_name_of(self, field_id: int) -> str:
+        for f in self.table.manifest().fields:
+            if f.id == field_id:
+                return f.name
+        raise KeyError(field_id)
+
+    # ------------------------------------------------------------------
+    def bootstrap_snapshot(self, pages: DataFrame, derive_text: bool = True) -> dict:
+        """Initial full-table snapshot load (the reference's batchRead path,
+        SURVEY.md §3.1): one distributed write, no merge needed."""
+        t = self.init_table()
+        df = pages
+        if derive_text and "text" not in df.columns:
+            df = df.withColumn("text", extract_text_udf(F.col("html")))
+        df = (
+            df.withColumn(SEQ_COL, F.lit(-1).cast("long"))
+            .withColumn("_deleted", F.lit(False))
+            .withColumn("_mb", t.bucket_expr("url"))
+        )
+        entries = t.write_data_files(df, "_mb")
+        v = t.commit_files(entries, summary={"op": "bootstrap"})
+        return {"version": v}
+
+    # ------------------------------------------------------------------
+    def apply_epoch(self, events: DataFrame, epoch: int, key_prefix: str = "") -> list[dict]:
+        """Apply one epoch: split at DDL barriers, evolve schema in source
+        order, fold+merge each DML slice. Idempotent per (key_prefix, epoch,
+        slice).
+
+        key_prefix scopes the idempotence guard to the delivery unit. Batch
+        replay delivers whole epochs, so the default "" (one guard per
+        epoch) is right. The streaming path delivers micro-batches that may
+        contain PARTIAL epochs (maxFilesPerTrigger cuts anywhere), so it
+        passes the foreachBatch batch_id — Structured Streaming guarantees
+        a retried batch_id carries identical data, which is exactly the
+        redelivery the guard must neutralize, while a later batch with the
+        rest of the same epoch gets a fresh key and is applied."""
+        self.init_table()
+        ddl_rows = (
+            events.filter(F.col("op") == "DDL")
+            .select("event_seq", "ddl.*")
+            .orderBy("event_seq")
+            .collect()
+        )
+        # slice boundaries: (-inf, ddl1), [ddl1] , (ddl1, ddl2), ... (ddlN, +inf)
+        metrics_all: list[dict] = []
+        bounds = [r["event_seq"] for r in ddl_rows]
+        lo = None
+        dml = events.filter(F.col("op") != "DDL")
+        for i, ddl in enumerate(ddl_rows):
+            hi = bounds[i]
+            metrics_all.append(self._apply_dml_slice(dml, epoch, i, lo, hi, key_prefix))
+            self._apply_ddl(ddl, epoch_key=f"e{epoch}:ddl{hi}")
+            lo = hi
+        metrics_all.append(
+            self._apply_dml_slice(dml, epoch, len(ddl_rows), lo, None, key_prefix)
+        )
+        return metrics_all
+
+    def _apply_ddl(self, ddl, epoch_key: str) -> None:
+        kind = ddl["kind"]
+        if kind == "ADD_COLUMN":
+            self.table.add_column(ddl["column"], ddl["new_type"], epoch_key=epoch_key)
+        elif kind == "RENAME_COLUMN":
+            self.table.rename_column(ddl["column"], ddl["new_name"], epoch_key=epoch_key)
+        elif kind == "TYPE_WIDEN":
+            self.table.widen_column(ddl["column"], ddl["new_type"], epoch_key=epoch_key)
+        else:
+            # TapDDLUnknownEvent analog (MysqlReader.java:722-731): surface it
+            raise ValueError(f"unknown DDL kind: {kind}")
+
+    def _apply_dml_slice(
+        self, dml: DataFrame, epoch: int, slice_no: int, lo: int | None,
+        hi: int | None, key_prefix: str = "",
+    ) -> dict:
+        t0 = time.time()
+        sl = dml
+        if lo is not None:
+            sl = sl.filter(F.col("event_seq") > lo)
+        if hi is not None:
+            sl = sl.filter(F.col("event_seq") < hi)
+
+        epoch_key = f"{key_prefix}e{epoch}:s{slice_no}"
+        if self.table.epoch_applied(epoch_key):
+            return {"skipped": True, "epoch_key": epoch_key}
+
+        payload = self.payload_specs()
+        deduped = lww_fold(sl, payload, key="url").persist(StorageLevel.MEMORY_AND_DISK)
+        stats = deduped.agg(
+            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.sum("_n_i"), F.lit(0)).alias("n_i"),
+            F.coalesce(F.sum("_n_u"), F.lit(0)).alias("n_u"),
+            F.coalesce(F.sum("_n_d"), F.lit(0)).alias("n_d"),
+            F.coalesce(F.sum("_n_dupes_approx"), F.lit(0)).alias("n_dupes"),
+            F.min("_min_seq").alias("lo"),
+            F.max("_final_seq").alias("hi"),
+        ).collect()[0]
+
+        if stats["n_events"] == 0:
+            deduped.unpersist()
+            return {"skipped": True, "empty": True, "epoch_key": epoch_key}
+
+        m = merge_into(
+            self.table,
+            deduped,
+            payload,
+            policy=self.policy,
+            derived=self._derived_specs(),
+            epoch_key=epoch_key,
+        )
+        deduped.unpersist()
+        wall_ms = int((time.time() - t0) * 1000)
+        self._write_lineage(epoch, slice_no, stats, m, wall_ms)
+        return {**m, "epoch_key": epoch_key, "n_events": stats["n_events"], "wall_ms": wall_ms}
+
+    def _write_lineage(self, epoch, slice_no, stats, m, wall_ms) -> None:
+        row = (
+            epoch, slice_no, stats["lo"], stats["hi"], stats["n_events"],
+            stats["n_i"], stats["n_u"], stats["n_d"], 0, stats["n_dupes"],
+            m.get("merge_added", 0), m.get("merge_updated", 0),
+            m.get("merge_deleted", 0), wall_ms,
+        )
+        (
+            self.spark.createDataFrame([row], LINEAGE_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.lineage_path)
+        )
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)
+
+    # ------------------------------------------------------------------
+    def replay_batch(self) -> list[dict]:
+        """Batch-mode replay of the whole staging area in epoch order.
+        Idempotent: already-applied (epoch, slice) pairs are skipped, so a
+        crashed replay just re-runs (fixture F11 without the streaming
+        machinery)."""
+        epochs = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.staging_path)
+            if d.startswith("epoch=")
+        )
+        out: list[dict] = []
+        for e in epochs:
+            df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
+                os.path.join(self.staging_path, f"epoch={e}")
+            )
+            out.extend(self.apply_epoch(df, e))
+        return out
+
+    # ------------------------------------------------------------------
+    def run_stream(
+        self,
+        checkpoint_path: str,
+        max_epochs_per_trigger: int | None = None,
+        available_now: bool = True,
+    ):
+        """Structured-Streaming replay over the staging area's EPOCH MARKER
+        stream (see sources.generator.stage_events): each marker names one
+        whole epoch, markers carry strictly increasing mtimes, so the file
+        source delivers epochs complete and in source order — the binlog
+        ordering contract the reference relies on (events applied in offset
+        order, SURVEY.md §2.11). foreachBatch loads each named epoch's
+        parquet with a batch read and applies it.
+
+        Backpressure via maxFilesPerTrigger on markers (= epochs/trigger;
+        the reference's bounded event queue, MysqlReader.java:268,291-292).
+        Exactly-once: the streaming checkpoint replays an unfinished marker
+        batch on restart; apply_epoch's per-(epoch, slice) guard in the
+        table manifest turns the redelivery into a no-op."""
+        reader = self.spark.readStream
+        if max_epochs_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_epochs_per_trigger)
+        stream = reader.text(os.path.join(self.staging_path, "_epochs"))
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            eps = sorted(int(r["value"]) for r in batch_df.collect() if r["value"].strip())
+            for e in eps:
+                df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
+                    os.path.join(self.staging_path, f"epoch={e}")
+                )
+                self.apply_epoch(df, e)
+
+        writer = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_path)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,151 @@
+"""Unit tests for the last-writer-wins fold (operators/dedup.py).
+
+Hand-built event sets exercising the reference's apply semantics:
+partial updates (DbKit.java:177-202), removed_fields nulling
+(MongodbV4StreamReader.java:317-335), delete-reset, duplicate delivery
+(MysqlReader.java:851-854), out-of-order neutrality."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tapdata_connectors_spark.operators.dedup import ColumnSpec, lww_fold
+from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+
+TS0 = dt.datetime(2024, 1, 1)
+
+PAYLOAD = [
+    ColumnSpec("warc_ts", "timestamp", "image"),
+    ColumnSpec("html", "binary", "image"),
+    ColumnSpec("lang", "string", "image"),
+]
+
+
+def ev(seq, op, url, html=None, lang=None, removed=None, extras=None, epoch=0):
+    ts = TS0 + dt.timedelta(seconds=seq)
+    after = None
+    if op in ("I", "U"):
+        after = (url, ts, html, lang)
+    return (seq, epoch, op, url, ts, None, after, removed, extras, None, f"eo_{seq}", seq)
+
+
+def fold(spark, rows, payload=PAYLOAD):
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    return {r["url"]: r.asDict() for r in lww_fold(df, payload).collect()}
+
+
+def test_insert_then_partial_update(spark):
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"<p>a</p>", lang="en"),
+        ev(2, "U", "u1", html=b"<p>b</p>"),  # lang absent -> unchanged
+    ])
+    r = out["u1"]
+    assert r["_final_op"] == "I"  # insert then update => row being created
+    assert bytes(r["html"]) == b"<p>b</p>"
+    assert r["lang"] == "en" and r["__set_lang"]
+    assert r["_final_seq"] == 2
+
+
+def test_update_only_partial_set_flags(spark):
+    out = fold(spark, [ev(5, "U", "u1", html=b"x")])
+    r = out["u1"]
+    assert r["_final_op"] == "U"
+    assert r["__set_html"] and not r["__set_lang"]
+
+
+def test_removed_fields_explicit_null(spark):
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"a", lang="en"),
+        ev(2, "U", "u1", removed=["lang"]),
+    ])
+    r = out["u1"]
+    assert r["lang"] is None and r["__set_lang"]  # explicitly nulled, not "unchanged"
+    assert bytes(r["html"]) == b"a"
+
+
+def test_delete_resets_prior_values(spark):
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"old", lang="en"),
+        ev(2, "D", "u1"),
+        ev(3, "U", "u1", html=b"new"),  # update after delete: partial, on absent row
+    ])
+    r = out["u1"]
+    assert r["_final_op"] == "U"
+    assert bytes(r["html"]) == b"new"
+    assert r["lang"] is None and not r["__set_lang"]  # en must NOT leak past the delete
+
+
+def test_delete_then_reinsert(spark):
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"old", lang="en"),
+        ev(2, "D", "u1"),
+        ev(3, "I", "u1", html=b"fresh"),
+    ])
+    r = out["u1"]
+    assert r["_final_op"] == "I"
+    assert bytes(r["html"]) == b"fresh"
+    assert r["lang"] is None and r["__set_lang"]  # full image: lang reset to null
+
+
+def test_final_delete(spark):
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"a", lang="en"),
+        ev(2, "D", "u1"),
+    ])
+    assert out["u1"]["_final_op"] == "D"
+
+
+def test_duplicate_delivery_is_noop(spark):
+    base = [ev(1, "I", "u1", html=b"a", lang="en"), ev(2, "U", "u1", html=b"b")]
+    dup = base + [ev(2, "U", "u1", html=b"b")]  # redelivered event
+    a, b = fold(spark, base)["u1"], fold(spark, dup)["u1"]
+    for k in ("_final_seq", "_final_op", "lang"):
+        assert a[k] == b[k]
+    assert bytes(a["html"]) == bytes(b["html"])
+    assert b["_n_events"] == 3  # raw count still visible for lineage
+
+
+def test_out_of_order_neutrality(spark):
+    evs = [
+        ev(1, "I", "u1", html=b"a", lang="en"),
+        ev(2, "U", "u1", lang="de"),
+        ev(3, "U", "u1", html=b"c"),
+    ]
+    shuffled = [evs[2], evs[0], evs[1]]
+    a, b = fold(spark, evs)["u1"], fold(spark, shuffled)["u1"]
+    assert bytes(a["html"]) == bytes(b["html"]) == b"c"
+    assert a["lang"] == b["lang"] == "de"
+    assert a["_final_seq"] == b["_final_seq"] == 3
+
+
+def test_insert_overwrites_as_full_image(spark):
+    # I ... I: the second insert resets columns the first had set
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"a", lang="en"),
+        ev(2, "I", "u1", html=b"b"),  # lang null in full image
+    ])
+    r = out["u1"]
+    assert bytes(r["html"]) == b"b"
+    assert r["lang"] is None and r["__set_lang"]
+
+
+def test_extras_columns(spark):
+    payload = PAYLOAD + [ColumnSpec("views", "int", "extras")]
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"a", extras={"views": "10"}),
+        ev(2, "U", "u1", extras={"views": "11"}),
+        ev(3, "U", "u1", html=b"b"),  # views unmentioned -> unchanged
+    ], payload)
+    r = out["u1"]
+    assert r["views"] == 11 and r["__set_views"]
+    assert bytes(r["html"]) == b"b"
+
+
+def test_multiple_keys_independent(spark):
+    out = fold(spark, [
+        ev(1, "I", "u1", html=b"a"),
+        ev(2, "I", "u2", html=b"b"),
+        ev(3, "D", "u2"),
+    ])
+    assert out["u1"]["_final_op"] == "I"
+    assert out["u2"]["_final_op"] == "D"
