@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — replays the sf0.001 ``events`` table as a CDC
+  changelog through the full engine (adapter → LWW fold → Arrow text
+  extraction → copy-on-write MERGE into the lake table) and returns the
+  final replica state.
+- ``queries()`` / ``oracle_sql()``: operator registry with DuckDB oracles
+  (tapdata_connectors_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end CDC replay of the sf0.001 events changelog into
+    a pages lake table; returns the post-merge visible state."""
+    from tapdata_connectors_spark.sources.events_adapter import events_table_to_cdc
+    from tapdata_connectors_spark.sources.generator import stage_events
+    from tapdata_connectors_spark.streaming.driver import CdcPipeline
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cdc = events_table_to_cdc(events, epoch_size=250)
+    tmp = tempfile.mkdtemp(prefix="flagship_")
+    stage_events(cdc, f"{tmp}/staging")
+    pipe = CdcPipeline(spark, f"{tmp}/pages", f"{tmp}/staging", n_buckets=8)
+    pipe.replay_batch()
+    return pipe.table.read().orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tapdata_connectors_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tapdata_connectors_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,532 @@
+"""Driver-contract query registry: every entry pairs a PySpark
+implementation with a DuckDB-equivalent ANSI-SQL oracle over the same
+parquet tables (tables: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Coverage maps to SURVEY.md §2 (the reference's operator inventory) plus the
+training-data-pipeline operators. Column names are aliased identically on
+both sides — the driver's correctness compare hashes values after sorting
+columns by name.
+
+Cross-engine determinism rules used throughout:
+- hashing: `md5` is identical in both engines; a 32-bit slice is
+  bigint-cast via Spark `conv(substring(md5(x),1,8),16,10)` ≡ DuckDB
+  `('0x'||substr(md5(x),1,8))::BIGINT`.
+- floats: where a sum's addition order could wobble the last bit, values
+  are scaled to exact integers first (associative), so both engines
+  aggregate identical integers in any order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md5_slice(col):
+    """32-bit bigint slice of md5 — Spark side of the shared hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_MD5_SLICE_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# CDC / replication-semantics queries over the `events` changelog
+# (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR,
+#  value DOUBLE, props VARCHAR).
+# Op mapping for the driver tables: signup = insert, click/view/purchase =
+# update, error = delete — the TapInsert/Update/DeleteRecordEvent triple.
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedup per key — the north rule's window/row_number
+    shape (operators/dedup.py is the production fold; this is the same
+    semantics expressed as the canonical window for the oracle gate).
+    Reference analog: ON DUPLICATE KEY UPDATE last-write
+    (MysqlWriteRecorder.java:60-65)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+SQL_CDC_LWW_DEDUP = """
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_op,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized replica state after replaying the changelog with
+    upsert+delete semantics: keys whose latest event is a delete ('error')
+    vanish. MERGE WHEN MATCHED DELETE analog (lake/merge.py)."""
+    return q_cdc_lww_dedup(spark, sf_dir).filter(F.col("last_op") != "error")
+
+
+SQL_CDC_APPLY_UPSERT = SQL_CDC_LWW_DEDUP.replace(
+    "WHERE rn = 1", "WHERE rn = 1 AND event_type <> 'error'"
+)
+
+
+def q_cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert policy ignore_on_exists (WritePolicyEnum.java:5, INSERT IGNORE
+    MysqlWriteRecorder.java:67-81): first event per key wins."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"),
+                F.col("event_type").alias("first_op"))
+    )
+
+
+SQL_CDC_FIRST_WRITER_WINS = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_op
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_epoch_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch grouping + per-epoch lineage counters — the
+    TapEventCollector 1000-record batcher (TapEventCollector.java:24-25) and
+    our lineage table (streaming/driver.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("epoch", (F.col("event_id") / F.lit(200)).cast("long"))
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "signup").cast("long")).alias("n_insert"),
+            F.sum(F.col("event_type").isin("click", "view", "purchase").cast("long")).alias("n_update"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_delete"),
+            F.min("event_id").alias("offset_start"),
+            F.max("event_id").alias("offset_end"),
+        )
+    )
+
+
+SQL_CDC_EPOCH_BATCHING = """
+SELECT CAST(floor(event_id / 200) AS BIGINT) AS epoch,
+       count(*) AS n_events,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_delete,
+       min(event_id) AS offset_start,
+       max(event_id) AS offset_end
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivery accounting (exactlyOnceId dedup, MysqlReader.java:851-854):
+    raw vs distinct delivery counts per op."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_distinct("event_id").alias("n_unique"),
+    )
+
+
+SQL_CDC_EXACTLY_ONCE_COUNTS = """
+SELECT event_type, count(*) AS n_raw, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+"""
+
+
+def q_delete_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-event before-image enrichment: each delete ('error') joined to
+    the key's latest earlier non-delete event — the Mongo delete lookup
+    cache (MongodbV4StreamReader.java:263-272, MongodbLookupUtil)."""
+    ev = _t(spark, sf_dir, "events")
+    deletes = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("del_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("del_ts"),
+    )
+    prior = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("prior_event_id"),
+        F.col("ts").alias("prior_ts"),
+        F.col("value").alias("prior_value"),
+    )
+    # condition must live IN the left join (an after-filter would drop
+    # deletes whose only priors are later ones, instead of null-extending)
+    j = deletes.join(
+        prior,
+        (F.col("user_id") == F.col("p_user_id")) & (F.col("prior_ts") < F.col("del_ts")),
+        "left",
+    )
+    w = W.partitionBy("del_event_id").orderBy(F.desc("prior_ts"), F.desc("prior_event_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("del_event_id", "user_id", "prior_event_id", "prior_value")
+    )
+
+
+SQL_DELETE_ENRICHMENT = """
+SELECT del_event_id, user_id, prior_event_id, prior_value
+FROM (
+  SELECT d.event_id AS del_event_id, d.user_id,
+         p.event_id AS prior_event_id, p.value AS prior_value,
+         row_number() OVER (PARTITION BY d.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'error') d
+  LEFT JOIN (SELECT * FROM events WHERE event_type <> 'error') p
+    ON d.user_id = p.user_id AND p.ts < d.ts
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-read operators (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-splitter boundary discovery: MIN/MAX/COUNT + piece count at
+    maxRecordInPartition=500 (DatabaseReadPartitionSplitter.java:56-64,
+    MysqlConnector.java:279-315 minMaxValue)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.ceil(F.count(F.lit(1)) / F.lit(500)).cast("long").alias("n_pieces"),
+    )
+
+
+SQL_SNAPSHOT_SPLIT_STATS = """
+SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       count(*) AS n_rows,
+       CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_pieces
+FROM orders
+"""
+
+
+def q_snapshot_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split parallel scan slice accounting — `WHERE mod(hash(pk),N)=i`
+    (CommonDbConnector.java:612-674; CRC32 expr MysqlConnector.java:600-609),
+    via the shared md5-slice hash, N=8 slices."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("slice", F.pmod(_md5_slice(F.col("o_orderkey").cast("string")), F.lit(8)))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("o_orderkey").alias("min_key"))
+    )
+
+
+SQL_SNAPSHOT_HASH_SPLIT = f"""
+SELECT {_MD5_SLICE_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 8 AS slice,
+       count(*) AS n_rows, min(o_orderkey) AS min_key
+FROM orders GROUP BY 1
+"""
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive whole-table verification hash — the reference's
+    source/target comparison checksum
+    `sum(mod(conv(substr(md5(concat_ws(cols)),1,16),16,10),64))`
+    (MysqlConnector.java:782-818 buildHashSql / queryTableHash)."""
+    d = _t(spark, sf_dir, "documents")
+    concat = F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars"))
+    return d.agg(
+        F.sum(F.pmod(_md5_slice(concat), F.lit(64))).alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_TABLE_CHECKSUM = f"""
+SELECT sum({_MD5_SLICE_SQL.format(x="concat_ws('|', doc_id, lang, source, n_chars)")} % 64) AS checksum,
+       count(*) AS n_rows
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query-by-filter surface (SURVEY.md §2.3, CommonSqlMaker.java)
+# ---------------------------------------------------------------------------
+
+def q_query_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TapAdvanceFilter → match + range operators + sort + limit
+    (CommonSqlMaker.java:150-257)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") >= 50) & (F.col("value") < 150))
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+SQL_QUERY_BY_FILTER = """
+SELECT event_id, user_id, ts, value
+FROM events
+WHERE event_type = 'purchase' AND value >= 50 AND value < 150
+ORDER BY ts ASC, event_id ASC LIMIT 20
+"""
+
+
+def q_rownum_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER pagination for offset-less dialects — page 3 of 50 rows
+    (CommonSqlMaker.java:259-289, the reference's one window function)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.asc("o_orderkey"))
+    return (
+        o.withColumn("rowno", F.row_number().over(w))
+        .filter((F.col("rowno") > 100) & (F.col("rowno") <= 150))
+        .select("rowno", "o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+SQL_ROWNUM_PAGINATION = """
+SELECT rowno, o_orderkey, o_custkey, o_orderstatus
+FROM (
+  SELECT *, row_number() OVER (ORDER BY o_orderkey ASC) AS rowno FROM orders
+) WHERE rowno > 100 AND rowno <= 150
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queryByFilter exact-match point read (CommonDbConnector.java:377-398)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 123).select("event_id", "user_id", "event_type", "value")
+
+
+SQL_POINT_LOOKUP = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 123
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over `documents` / `embeddings`
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: min doc_id survives per distinct text
+    (hash-groupBy; the scale path is a single shuffle on the digest)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", F.md5(F.col("text")))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("survivor_id", "n_copies")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: 64-bit hex digest of whitespace-normalized
+    lowered text — dedup-key precursor. Kept as a hex string: a bigint
+    combine overflows differently per engine (Java wraps, DuckDB promotes
+    to int128)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document: token count, punctuation count,
+    stopword count, mean token length ×100 as exact integer."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stop"),
+        F.floor(total_len * 100 / F.greatest(n_words, F.lit(1))).cast("long").alias("mean_tok_len_x100"),
+    )
+
+
+_SW_SQL = ",".join(f"'{w}'" for w in _STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(tk, x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stop,
+       CAST(floor(list_sum(list_transform(tk, x -> length(x))) * 100.0
+            / greatest(len(tk), 1)) AS BIGINT) AS mean_tok_len_x100
+FROM toks
+"""
+
+
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting grouped by language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return (
+        d.select("lang", F.size(toks).cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+
+
+SQL_TOKEN_COUNT_BY_LANG = """
+SELECT lang, count(*) AS n_docs,
+       sum(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column: queries are
+    vec_id < 3, k=5. All arithmetic in exact scaled integers (components
+    ×1e6 rounded) so both engines rank identical values; similarity is
+    reported as the exact integer dot product (cosine ordering per query ==
+    dot ordering after per-vector normalization is NOT implied, so norms are
+    included in the output for verifiability)."""
+    e = _t(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000.0).cast("long")
+    )
+    base = e.select(F.col("vec_id"), scaled.alias("v"))
+    nrm = F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a, x: a + x * x)
+    base = base.withColumn("nrm", nrm)
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    j = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    j = j.withColumn("dot", dot)
+    # rank by true cosine: dot / sqrt(qn*nrm) — compare via exact cross-mult
+    # ordering is messy; integer dot with L2-comparable norms suffices when
+    # vectors are near-unit; rank key = dot*dot sign-adjusted per norms is
+    # overkill here: report dot + norms, rank by double cosine rounded to 1e-9
+    cos = (F.col("dot") / F.sqrt(F.col("qn").cast("double") * F.col("nrm").cast("double")))
+    j = j.withColumn("cos_r", F.round(cos, 9))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "dot")
+    )
+
+
+SQL_KNN_BRUTE_COSINE = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(v, x -> x * x)) AS nrm
+  FROM scaled
+), pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2])) AS dot,
+         q.nrm AS qn, e.nrm AS nrm
+  FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+), ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / sqrt(CAST(qn AS DOUBLE) * CAST(nrm AS DOUBLE)), 9) DESC,
+                    neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, dot FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_apply_upsert": q_cdc_apply_upsert,
+    "cdc_first_writer_wins": q_cdc_first_writer_wins,
+    "cdc_epoch_batching": q_cdc_epoch_batching,
+    "cdc_exactly_once_counts": q_cdc_exactly_once_counts,
+    "cdc_delete_enrichment": q_delete_enrichment,
+    "snapshot_split_stats": q_snapshot_split_stats,
+    "snapshot_hash_split": q_snapshot_hash_split,
+    "table_checksum": q_table_checksum,
+    "query_by_filter": q_query_by_filter,
+    "rownum_pagination": q_rownum_pagination,
+    "point_lookup": q_point_lookup,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "token_count_by_lang": q_token_count_by_lang,
+    "knn_brute_cosine": q_knn_brute_cosine,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
+    "cdc_apply_upsert": SQL_CDC_APPLY_UPSERT,
+    "cdc_first_writer_wins": SQL_CDC_FIRST_WRITER_WINS,
+    "cdc_epoch_batching": SQL_CDC_EPOCH_BATCHING,
+    "cdc_exactly_once_counts": SQL_CDC_EXACTLY_ONCE_COUNTS,
+    "cdc_delete_enrichment": SQL_DELETE_ENRICHMENT,
+    "snapshot_split_stats": SQL_SNAPSHOT_SPLIT_STATS,
+    "snapshot_hash_split": SQL_SNAPSHOT_HASH_SPLIT,
+    "table_checksum": SQL_TABLE_CHECKSUM,
+    "query_by_filter": SQL_QUERY_BY_FILTER,
+    "rownum_pagination": SQL_ROWNUM_PAGINATION,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
+    "knn_brute_cosine": SQL_KNN_BRUTE_COSINE,
+}

@@ -1,0 +1,82 @@
+"""Replicates the round driver's correctness gate locally: every queries()
+entry runs on Spark AND its oracle_sql() runs on DuckDB over the same
+parquet (sf0.01), compared on row count, column names, and sorted values."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(v):
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _pairs():
+    from tapdata_connectors_spark.queries import ORACLE_SQL, QUERIES
+
+    assert set(QUERIES) == set(ORACLE_SQL)
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _pairs())
+def test_query_matches_oracle(spark, name):
+    from tapdata_connectors_spark.queries import ORACLE_SQL, QUERIES
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(_norm(v) for v in r) for r in sdf.collect()]
+
+    d_cols, d_raw = _duck(ORACLE_SQL[name])
+    d_rows = [tuple(_norm(v) for v in r) for r in d_raw]
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: columns {s_cols} vs {d_cols}"
+    # order-insensitive compare with columns aligned by name
+    s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+    d_idx = [d_cols.index(c) for c in sorted(d_cols)]
+    s_sorted = sorted(tuple(r[i] for i in s_idx) for r in s_rows)
+    d_sorted = sorted(tuple(r[i] for i in d_idx) for r in d_rows)
+    assert len(s_sorted) == len(d_sorted), f"{name}: {len(s_sorted)} vs {len(d_sorted)} rows"
+    assert s_sorted == d_sorted, (
+        f"{name}: first diff "
+        f"{next(((a, b) for a, b in zip(s_sorted, d_sorted) if a != b), None)}"
+    )
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    # deterministic across invocations
+    df2 = entrymod.entry(spark)
+    assert df2.count() == n
