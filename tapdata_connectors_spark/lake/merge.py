@@ -59,13 +59,20 @@ def merge_into(
     derived: list[DerivedSpec] | None = None,
     epoch_key: str | None = None,
     epoch_hash: str = "",
+    b_rows: int | None = None,
+    touched: set[int] | None = None,
 ) -> dict:
     """Apply one deduped micro-batch (lww_fold output) to the table.
 
     Returns merge metrics {merge_added, merge_updated, merge_deleted,
-    n_ignored, n_stale, version}. Idempotent when epoch_key is given:
-    an already-applied epoch is a no-op (the manifest's applied_epochs
-    guard — exactly-once effect under micro-batch re-delivery).
+    n_ignored, n_stale, by_bucket, version}. Idempotent when epoch_key is
+    given: an already-applied epoch is a no-op (the manifest's
+    applied_epochs guard — exactly-once effect under micro-batch
+    re-delivery).
+
+    Callers that already aggregated the batch (the pipeline's lineage pass)
+    hand in b_rows + touched so this function launches no extra jobs for
+    them; deduped may then already carry a `_mb` bucket column.
     """
     if epoch_key is not None and table.epoch_applied(epoch_key):
         return {"merge_added": 0, "merge_updated": 0, "merge_deleted": 0,
@@ -76,14 +83,16 @@ def merge_into(
     key = m.key
     derived = derived or []
     derived_by_src = {src: (out, fn) for out, src, fn in derived}
-    pay_names = [c.name for c in payload]
     logical_cols = [f.name for f in m.fields]
 
-    b = deduped.withColumn("_mb", table.bucket_expr(key)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    touched = {r["_mb"] for r in b.select("_mb").distinct().collect()}
-    b_rows = b.count()
+    b = deduped
+    if "_mb" not in b.columns:
+        b = b.withColumn("_mb", table.bucket_expr(key))
+    own_persist = b_rows is None or touched is None
+    if own_persist:
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        touched = {r["_mb"] for r in b.select("_mb").distinct().collect()}
+        b_rows = b.count()
 
     t = table.read_raw(buckets=sorted(touched)).withColumn("_tb", table.bucket_expr(key))
 
@@ -104,21 +113,32 @@ def merge_into(
         joined = b.join(t.select(*t_sel), key, "left_outer")
 
     # ---- disposition --------------------------------------------------
-    b_ord = F.struct(F.col("_final_ts").alias("ts"), F.col("_final_seq").alias("seq"))
     op = F.col("_final_op")
+    # 'DU' = delete followed only by updates: under the default update
+    # policy the updates hit a missing row and drop, so the effective op is
+    # the DELETE (at the delete's order); under insert_on_nonexists the
+    # post-delete updates create a fresh row (full replace at the fold's
+    # final order).
+    du_is_insert = F.lit(policy.update_inserts_missing)
+    eff_delete = (op == "D") | ((op == "DU") & ~du_is_insert)
+    eff_seq = F.when(eff_delete & (op == "DU"), F.col("_del_seq")).otherwise(F.col("_final_seq"))
+    eff_ts = F.when(eff_delete & (op == "DU"), F.col("_del_ts")).otherwise(F.col("_final_ts"))
+    b_ord = F.struct(eff_ts.alias("ts"), eff_seq.alias("seq"))
     t_exists = F.col(f"_t{SEQ_COL}").isNotNull()
     t_live = t_exists & ~F.coalesce(F.col(f"_t{TOMBSTONE_COL}"), F.lit(False))
     t_ord = F.struct(F.col("_t_warc_ts").alias("ts"), F.col(f"_t{SEQ_COL}").alias("seq"))
     stale = t_exists & (b_ord <= t_ord)
     action = (
         F.when(stale, F.lit("stale"))
-        .when(op == "D", F.lit("delete"))
+        .when(eff_delete, F.lit("delete"))
+        # DU-as-insert is a full replace regardless of a live target row
+        .when((op == "DU") & du_is_insert, F.lit("insert"))
         .when(op == "I", F.when(t_live & F.lit(not policy.insert_updates_existing), F.lit("ignore"))
                           .when(t_live, F.lit("update"))
                           .otherwise(F.lit("insert")))
         .otherwise(
             F.when(t_live, F.lit("update"))
-            .when(F.lit(policy.update_inserts_missing), F.lit("insert"))
+            .when(du_is_insert, F.lit("insert"))
             .when(t_exists, F.lit("stale"))
             .otherwise(F.lit("drop"))
         )
@@ -135,7 +155,7 @@ def merge_into(
         new_val = (
             F.when(keepish, t_val)
             .when(F.col("_action") == "delete",
-                  F.col("_final_ts").cast(ty) if c.name == "warc_ts" else F.lit(None).cast(ty))
+                  eff_ts.cast(ty) if c.name == "warc_ts" else F.lit(None).cast(ty))
             .when(F.col("_action") == "insert", b_val)
             .when(F.col("_action") == "update", F.when(setf, b_val).otherwise(t_val))
             .otherwise(F.lit(None).cast(ty))
@@ -157,7 +177,7 @@ def merge_into(
                 .alias(out_name)
             )
     final_cols += [
-        F.when(keepish, F.col(f"_t{SEQ_COL}")).otherwise(F.col("_final_seq")).alias(SEQ_COL),
+        F.when(keepish, F.col(f"_t{SEQ_COL}")).otherwise(eff_seq).alias(SEQ_COL),
         F.when(keepish, F.coalesce(F.col(f"_t{TOMBSTONE_COL}"), F.lit(False)))
         .otherwise(F.col("_action") == "delete")
         .alias(TOMBSTONE_COL),
@@ -168,8 +188,16 @@ def merge_into(
     changed = joined.select(*final_cols).filter(F.col("_action") != "drop").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    counts = {r["_action"]: r["cnt"] for r in
-              changed.groupBy("_action").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # per-bucket action counts: feeds both the global metrics and the
+    # per-partition lineage rows (north rule)
+    bucket_rows = (
+        changed.groupBy("_mb", "_action").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    counts: dict[str, int] = {}
+    by_bucket: dict[int, dict[str, int]] = {}
+    for r in bucket_rows:
+        counts[r["_action"]] = counts.get(r["_action"], 0) + r["cnt"]
+        by_bucket.setdefault(r["_mb"], {})[r["_action"]] = r["cnt"]
 
     # ---- assemble the new snapshot for touched buckets ----------------
     order = [key] + [n for n in logical_cols if n != key] + [SEQ_COL, TOMBSTONE_COL, "_mb"]
@@ -187,16 +215,143 @@ def merge_into(
         "merge_deleted": counts.get("delete", 0),
         "n_ignored": counts.get("ignore", 0),
         "n_stale": counts.get("stale", 0),
+        "by_bucket": by_bucket,
     }
     version = table.commit_files(
         entries,
         replaced_buckets=touched,
         epoch_key=epoch_key,
         epoch_hash=epoch_hash,
-        summary={"op": "merge", **metrics, "batch_rows": b_rows,
+        summary={"op": "merge",
+                 **{k: v for k, v in metrics.items() if k != "by_bucket"},
+                 "batch_rows": b_rows,
                  "wall_ms": int(time.time() * 1000)},
     )
     metrics["version"] = version
-    b.unpersist()
+    if own_persist:
+        b.unpersist()
     changed.unpersist()
     return metrics
+
+
+def merge_events_sequential(
+    table: LakeTable,
+    events: DataFrame,
+    payload: list[ColumnSpec],
+    policy: WritePolicy,
+    derived: list[DerivedSpec] | None = None,
+    epoch_key: str | None = None,
+    touched: set[int] | None = None,
+    b_keys_hint: int | None = None,
+) -> dict:
+    """Sequential-faithful COW merge of RAW slice events (no pre-fold).
+
+    Used for non-default write policies, whose effects are position-
+    dependent within a batch (INSERT IGNORE applies an insert only when the
+    key is dead at that point in the order; insert_on_nonexists turns the
+    first update of a dead period into a create). The per-key fold cannot
+    express that, so this path unions the matched target rows with the raw
+    events and resolves them with operators/resolve.resolve_events — exact
+    event-at-a-time semantics, one shuffle, still zero target-side shuffles
+    for small batches.
+
+    The per-event redelivery guard here is finer than the folded path's
+    per-key guard: each event older than the target row's order is dropped
+    individually (the reference's exactlyOnceId granularity,
+    MysqlReader.java:851-854).
+    """
+    from tapdata_connectors_spark.operators.dedup import event_col_exprs
+    from tapdata_connectors_spark.operators.resolve import KIND, ORD, resolve_events
+
+    if epoch_key is not None and table.epoch_applied(epoch_key):
+        return {"skipped": True, "version": table.current_version()}
+
+    m = table.manifest()
+    key = m.key
+    derived = derived or []
+    derived_by_src = {src: (out, fn) for out, src, fn in derived}
+    logical_cols = [f.name for f in m.fields]
+
+    ev_sel = [
+        F.col(key),
+        F.col("op").alias(KIND),
+        F.struct(F.col("warc_ts").alias("ts"), F.col("event_seq").alias("seq")).alias(ORD),
+    ]
+    for c in payload:
+        is_set, val = event_col_exprs(c)
+        ev_sel.append(val.alias(c.name))
+        ev_sel.append(is_set.alias(f"__set_{c.name}"))
+    for out, _src, _fn in derived:
+        ev_sel.append(F.lit(None).cast("string").alias(out))
+        ev_sel.append(F.lit(False).alias(f"__set_{out}"))
+    ev = events.select(*ev_sel).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if touched is None:
+        touched = {
+            r["b"]
+            for r in ev.select(table.bucket_expr(key).alias("b")).distinct().collect()
+        }
+    bkeys = ev.select(key).distinct()
+
+    t = table.read_raw(buckets=sorted(touched)).withColumn("_tb", table.bucket_expr(key))
+    t_matched = t.join(F.broadcast(bkeys), key, "left_semi")
+    kept = t.join(F.broadcast(bkeys), key, "left_anti")
+
+    # target rows as unified B/T rows (every column set at the row's order)
+    all_payload = payload + [
+        ColumnSpec(out, "string") for out, _s, _f in derived
+    ]
+    t_uni_sel = [F.col(key)]
+    for c in all_payload:
+        t_uni_sel.append(F.col(c.name))
+        t_uni_sel.append(F.lit(True).alias(f"__set_{c.name}"))
+    t_uni_sel.append(F.when(F.col(TOMBSTONE_COL), F.lit("T")).otherwise(F.lit("B")).alias(KIND))
+    t_uni_sel.append(
+        F.struct(F.col("warc_ts").alias("ts"), F.col(SEQ_COL).alias("seq")).alias(ORD)
+    )
+    t_uni = t_matched.select(*t_uni_sel)
+
+    # per-event redelivery guard: drop events not newer than the target row
+    t_ords = t_matched.select(
+        F.col(key),
+        F.struct(F.col("warc_ts").alias("ts"), F.col(SEQ_COL).alias("seq")).alias("_t_ord"),
+    )
+    ev_guarded = (
+        ev.join(F.broadcast(t_ords), key, "left")
+        .filter(F.col("_t_ord").isNull() | (F.col(ORD) > F.col("_t_ord")))
+        .drop("_t_ord")
+    )
+
+    unified = t_uni.unionByName(ev_guarded)
+    resolved = resolve_events(unified, all_payload, key=key, policy=policy, provenance=True)
+
+    # recompute derived columns where the source value came from an event
+    # (UDF sees null input elsewhere — vectorized cost ∝ changed rows)
+    resolved_out = resolved
+    for out, src, fn in derived:
+        fresh = F.col(f"__evt_{src}")
+        resolved_out = resolved_out.withColumn(
+            out, F.when(fresh, fn(F.when(fresh, F.col(src)))).otherwise(F.col(out))
+        )
+    resolved_out = resolved_out.withColumn("_mb", table.bucket_expr(key)).select(
+        *[F.col(n) for n in logical_cols], F.col(SEQ_COL), F.col(TOMBSTONE_COL), F.col("_mb")
+    )
+
+    order = [key] + [n for n in logical_cols if n != key] + [SEQ_COL, TOMBSTONE_COL, "_mb"]
+    kept_out = kept.select(
+        *[F.col(n) for n in logical_cols], F.col(SEQ_COL), F.col(TOMBSTONE_COL),
+        F.col("_tb").alias("_mb"),
+    ).select(*order)
+    result = kept_out.unionByName(resolved_out.select(*order))
+
+    entries = table.write_data_files(result, "_mb")
+    version = table.commit_files(
+        entries,
+        replaced_buckets=touched,
+        epoch_key=epoch_key,
+        summary={"op": "merge_sequential", "policy": policy.insert_policy + "/" + policy.update_policy,
+                 "wall_ms": int(time.time() * 1000)},
+    )
+    ev.unpersist()
+    return {"version": version, "merge_added": 0, "merge_updated": 0,
+            "merge_deleted": 0, "by_bucket": {}}

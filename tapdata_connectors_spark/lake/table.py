@@ -258,11 +258,16 @@ class LakeTable:
     ) -> DataFrame:
         """Snapshot read including hidden engine columns and tombstones.
 
-        Files are grouped by identical physical layout; each group is read
-        in one `spark.read.parquet(*paths)` (so Spark still plans splits,
-        pushdown and pruning per group), mapped id->current name with
-        casts, then unioned by name. Missing columns (pre-ADD files) come
-        back as typed nulls.
+        Base files are grouped by identical physical layout; each group is
+        read in one `spark.read.parquet(*paths)` (so Spark still plans
+        splits, pushdown and pruning per group), mapped id->current name
+        with casts, then unioned by name. Missing columns (pre-ADD files)
+        come back as typed nulls.
+
+        Buckets that carry DELTA files (merge-on-read mode) are resolved
+        here: base ∪ delta rows fold to current state in one shuffle
+        (operators/mor.resolve_mor). Delta-free buckets take the zero-
+        shuffle base path and are unioned in.
         """
         m = self.manifest(version)
         files = m.files
@@ -270,13 +275,34 @@ class LakeTable:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
 
-        logical = [(f.id, f.name, f.type) for f in m.fields]
-        hidden = [(-1, SEQ_COL, "bigint"), (-2, TOMBSTONE_COL, "boolean")]
-        want = logical + hidden
-
         empty = self.spark.createDataFrame([], self._raw_schema(m))
         if not files:
             return empty
+
+        delta_buckets = {f["bucket"] for f in files if f.get("kind") == "delta"}
+        plain = [f for f in files if f["bucket"] not in delta_buckets]
+        base_in_delta = [
+            f for f in files
+            if f["bucket"] in delta_buckets and f.get("kind") != "delta"
+        ]
+        deltas = [f for f in files if f.get("kind") == "delta"]
+
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(self._read_base(m, plain))
+        if deltas:
+            parts.append(self._resolve_deltas(m, base_in_delta, deltas))
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_base(self, m: Manifest, files: list[dict]) -> DataFrame:
+        logical = [(f.id, f.name, f.type) for f in m.fields]
+        hidden = [(-1, SEQ_COL, "bigint"), (-2, TOMBSTONE_COL, "boolean")]
+        want = logical + hidden
 
         groups: dict[str, list[dict]] = {}
         for fi in files:
@@ -302,6 +328,91 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _resolve_deltas(
+        self, m: Manifest, base_files: list[dict], delta_files: list[dict]
+    ) -> DataFrame:
+        """Build unified rows (see operators/mor.py) and resolve to current
+        state for the buckets that have pending deltas."""
+        from tapdata_connectors_spark.operators.dedup import ColumnSpec
+        from tapdata_connectors_spark.operators.mor import KIND, ORD, resolve_mor
+
+        payload = [ColumnSpec(f.name, f.type) for f in m.fields if f.name != m.key]
+
+        parts: list[DataFrame] = []
+        if base_files:
+            b = self._read_base(m, base_files)
+            sel = [F.col(m.key)]
+            for c in payload:
+                sel.append(F.col(c.name))
+                sel.append(F.lit(True).alias(f"__set_{c.name}"))
+            sel.append(
+                F.when(F.col(TOMBSTONE_COL), F.lit("T")).otherwise(F.lit("B")).alias(KIND)
+            )
+            sel.append(
+                F.struct(F.col("warc_ts").alias("ts"), F.col(SEQ_COL).alias("seq")).alias(ORD)
+            )
+            parts.append(b.select(*sel))
+
+        groups: dict[str, list[dict]] = {}
+        for fi in delta_files:
+            sig = json.dumps([fi["columns"], fi["types"]], sort_keys=True)
+            groups.setdefault(sig, []).append(fi)
+        for grp in groups.values():
+            cols = {k: v for k, v in grp[0]["columns"].items()}
+            df = self.spark.read.parquet(*[os.path.join(self.path, g["path"]) for g in grp])
+            sel = [F.col(cols["key"]).alias(m.key)]
+            for f in m.fields:
+                if f.name == m.key:
+                    continue
+                fid = str(f.id)
+                if fid in cols:
+                    sel.append(F.col(cols[fid]).cast(type_of(f.type)).alias(f.name))
+                    sel.append(F.col(cols[f"s{fid}"]).alias(f"__set_{f.name}"))
+                else:
+                    sel.append(F.lit(None).cast(type_of(f.type)).alias(f.name))
+                    sel.append(F.lit(False).alias(f"__set_{f.name}"))
+            sel.append(F.col(cols["op"]).alias(KIND))
+            sel.append(
+                F.struct(
+                    F.col(cols["ord_ts"]).alias("ts"),
+                    F.col(cols["seq"]).cast("bigint").alias("seq"),
+                ).alias(ORD)
+            )
+            parts.append(df.select(*sel))
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return resolve_mor(out, payload, key=m.key)
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """Pending delta files per bucket (compaction trigger input)."""
+        counts: dict[int, int] = {}
+        for f in self.manifest().files:
+            if f.get("kind") == "delta":
+                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return counts
+
+    def compact(self, buckets: list[int] | None = None, min_deltas: int = 1) -> dict:
+        """Rewrite buckets with pending deltas to plain base files (the MOR
+        compactor — Hudi-compaction analog). Returns {buckets, version}."""
+        counts = self.delta_file_counts()
+        if buckets is None:
+            buckets = [b for b, n in counts.items() if n >= min_deltas]
+        buckets = [b for b in buckets if counts.get(b)]
+        if not buckets:
+            return {"buckets": [], "version": self.current_version()}
+        resolved = self.read_raw(buckets=buckets).withColumn(
+            "_mb", self.bucket_expr()
+        )
+        entries = self.write_data_files(resolved, "_mb")
+        v = self.commit_files(
+            entries,
+            replaced_buckets=set(buckets),
+            summary={"op": "compact", "buckets": len(buckets)},
+        )
+        return {"buckets": buckets, "version": v}
+
     def read(self, version: int | None = None) -> DataFrame:
         """User-visible snapshot: tombstones filtered, hidden columns dropped."""
         df = self.read_raw(version)
@@ -315,24 +426,40 @@ class LakeTable:
         ]
         return T.StructType(flds)
 
-    # ---------------- write path (used by merge.py) ----------------
-    def write_data_files(self, df: DataFrame, bucket_col: str) -> list[dict]:
+    # ---------------- write path (used by merge.py / delta.py) ----------------
+    def write_data_files(
+        self,
+        df: DataFrame,
+        bucket_col: str,
+        kind: str = "base",
+        columns: dict[str, str] | None = None,
+        types: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Write df as new immutable data files partitioned by bucket; return
-        manifest file entries. df must already contain all logical columns
-        (current names) + hidden columns + `bucket_col`."""
+        manifest file entries. For kind='base' df must contain all logical
+        columns (current names) + hidden columns + `bucket_col`; for
+        kind='delta' the caller supplies the physical column mapping."""
         m = self.manifest()
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"c{commit_id}")
         out_dir = os.path.join(self.path, rel)
         (
             df.withColumn("__bucket", F.col(bucket_col).cast("int"))
+            # bucket-aligned clustering before the partitioned write: without
+            # it every task writes a file into every bucket it touches
+            # (tasks × buckets small files per commit — a scan killer at
+            # scale). Hash repartition on the bucket id gives ~one file per
+            # bucket per commit with NO extra pass (repartitionByRange would
+            # run a sampling job over the full result before every write).
+            .repartition(m.n_buckets, F.col("__bucket"))
             .write.partitionBy("__bucket")
             .parquet(out_dir, mode="overwrite")
         )
-        columns = {str(f.id): f.name for f in m.fields}
-        columns.update({"-1": SEQ_COL, "-2": TOMBSTONE_COL})
-        types = {str(f.id): f.type for f in m.fields}
-        types.update({"-1": "bigint", "-2": "boolean"})
+        if columns is None:
+            columns = {str(f.id): f.name for f in m.fields}
+            columns.update({"-1": SEQ_COL, "-2": TOMBSTONE_COL})
+            types = {str(f.id): f.type for f in m.fields}
+            types.update({"-1": "bigint", "-2": "boolean"})
         entries: list[dict] = []
         for bdir in os.listdir(out_dir):
             if not bdir.startswith("__bucket="):
@@ -340,14 +467,15 @@ class LakeTable:
             b = int(bdir.split("=")[1])
             for fn in os.listdir(os.path.join(out_dir, bdir)):
                 if fn.endswith(".parquet"):
-                    entries.append(
-                        {
-                            "path": os.path.join(rel, bdir, fn),
-                            "bucket": b,
-                            "columns": columns,
-                            "types": types,
-                        }
-                    )
+                    e = {
+                        "path": os.path.join(rel, bdir, fn),
+                        "bucket": b,
+                        "columns": columns,
+                        "types": types,
+                    }
+                    if kind != "base":
+                        e["kind"] = kind
+                    entries.append(e)
         return entries
 
     def commit_files(

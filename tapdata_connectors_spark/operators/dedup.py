@@ -82,6 +82,27 @@ def _ord_col() -> F.Column:
     )
 
 
+def event_col_exprs(c: ColumnSpec) -> tuple[F.Column, F.Column]:
+    """(is_set, value) expressions for one payload column of a raw event row
+    — the shared convention of the fold and the sequential resolver:
+    insert = full image (every column set, possibly to null); update sets
+    mentioned columns; removed_fields is an explicit set-to-null."""
+    removed = F.array_contains(F.coalesce(F.col("removed_fields"), F.array()), c.name)
+    ty = type_of(c.type)
+    if c.source == "image":
+        raw_val = F.col(f"after.{c.ref}").cast(ty)
+        mentioned = F.col(f"after.{c.ref}").isNotNull() | removed
+    else:
+        raw_val = F.element_at(F.col("extras"), c.ref).cast(ty)
+        mentioned = (
+            F.coalesce(F.map_contains_key(F.col("extras"), c.ref), F.lit(False))
+            | removed
+        )
+    is_set = (F.col("op") == "I") | ((F.col("op") == "U") & mentioned)
+    val = F.when(removed, F.lit(None).cast(ty)).otherwise(raw_val)
+    return is_set, val
+
+
 def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
     """Fold DML events (op ∈ I/U/D) to one row per key. One shuffle."""
     ev = events.withColumn(ORD, _ord_col())
@@ -110,20 +131,7 @@ def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> 
     ]
 
     for c in payload:
-        removed = F.array_contains(F.coalesce(F.col("removed_fields"), F.array()), c.name)
-        if c.source == "image":
-            raw_val = F.col(f"after.{c.ref}").cast(type_of(c.type))
-            mentioned = F.col(f"after.{c.ref}").isNotNull() | removed
-        else:
-            raw_val = F.element_at(F.col("extras"), c.ref).cast(type_of(c.type))
-            mentioned = (
-                F.coalesce(F.map_contains_key(F.col("extras"), c.ref), F.lit(False))
-                | removed
-            )
-        # insert = full image: every column is set (possibly to null);
-        # update sets only mentioned columns.
-        is_set = (F.col("op") == "I") | ((F.col("op") == "U") & mentioned)
-        val = F.when(removed, F.lit(None).cast(type_of(c.type))).otherwise(raw_val)
+        is_set, val = event_col_exprs(c)
         aggs.append(
             F.max_by(
                 F.struct(F.col(ORD).alias("o"), val.alias("v")),
@@ -147,8 +155,15 @@ def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> 
             & (F.col("_last_del").isNull() | (F.col("_last_ins") >= F.col("_last_del"))),
             F.lit("I"),
         )
+        # delete followed ONLY by updates: sequential semantics = the delete
+        # applies, then updates hit a missing row (policy decides: default
+        # drops them; insert_on_nonexists turns them into a fresh insert).
+        # Folding this to plain 'U' would wrongly keep the target row alive.
+        .when(F.col("_last_del").isNotNull(), F.lit("DU"))
         .otherwise(F.lit("U"))
         .alias("_final_op"),
+        F.col("_last_del")["seq"].alias("_del_seq"),
+        F.col("_last_del")["ts"].alias("_del_ts"),
         F.col("_n_events"),
         F.col("_n_i"),
         F.col("_n_u"),

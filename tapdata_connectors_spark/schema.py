@@ -97,6 +97,9 @@ LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch", T.IntegerType(), False),
         T.StructField("sub_epoch", T.IntegerType(), False),
+        # partition_id = target bucket (hash partition of the merge key):
+        # lineage is per (epoch, slice, partition) per the north rule
+        T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("offset_start", T.LongType(), True),
         T.StructField("offset_end", T.LongType(), True),
         T.StructField("n_events", T.LongType(), True),

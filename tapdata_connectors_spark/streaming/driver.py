@@ -58,13 +58,29 @@ class CdcPipeline:
         lineage_path: str | None = None,
         policy: WritePolicy = DEFAULT_POLICY,
         n_buckets: int = 16,
+        merge_mode: str = "cow",
+        compact_every: int = 8,
     ):
+        """merge_mode:
+        'cow'  — copy-on-write MERGE per epoch (lake/merge.py): epoch cost ∝
+                 touched table data; supports every write policy.
+        'mor'  — merge-on-read delta append (lake/delta.py): epoch cost ∝
+                 batch; deferred merge resolved on read, compacted when a
+                 bucket accumulates `compact_every` delta files. Default
+                 policy only. This is the 10^10-event scale path.
+        """
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(merge_mode)
+        if merge_mode == "mor" and policy != DEFAULT_POLICY:
+            raise ValueError("merge_mode='mor' supports the default write policy only")
         self.spark = spark
         self.table_path = table_path
         self.staging_path = staging_path
         self.lineage_path = lineage_path or os.path.join(table_path, "_lineage")
         self.policy = policy
         self.n_buckets = n_buckets
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
         self.table = LakeTable(spark, table_path)
 
     # ------------------------------------------------------------------
@@ -194,43 +210,121 @@ class CdcPipeline:
             return {"skipped": True, "epoch_key": epoch_key}
 
         payload = self.payload_specs()
-        deduped = lww_fold(sl, payload, key="url").persist(StorageLevel.MEMORY_AND_DISK)
-        stats = deduped.agg(
-            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n_events"),
-            F.coalesce(F.sum("_n_i"), F.lit(0)).alias("n_i"),
-            F.coalesce(F.sum("_n_u"), F.lit(0)).alias("n_u"),
-            F.coalesce(F.sum("_n_d"), F.lit(0)).alias("n_d"),
-            F.coalesce(F.sum("_n_dupes_approx"), F.lit(0)).alias("n_dupes"),
+
+        if self.policy != DEFAULT_POLICY:
+            # position-dependent policies (INSERT IGNORE & friends) need the
+            # sequential-faithful resolver over raw events — the per-key
+            # fold cannot see "alive at this point in the batch"
+            return self._apply_slice_sequential(sl, epoch, slice_no, epoch_key, payload, t0)
+        deduped = (
+            lww_fold(sl, payload, key="url")
+            .withColumn("_mb", self.table.bucket_expr("url"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # ONE aggregation job yields everything the driver needs before the
+        # merge: per-bucket lineage inputs, touched-bucket set, batch rows
+        # (the fold emits exactly one row per key, so sum(n_keys) = |batch|).
+        per_bucket = deduped.groupBy("_mb").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_n_events").alias("n_events"),
+            F.sum("_n_i").alias("n_i"),
+            F.sum("_n_u").alias("n_u"),
+            F.sum("_n_d").alias("n_d"),
+            F.sum("_n_dupes_approx").alias("n_dupes"),
             F.min("_min_seq").alias("lo"),
             F.max("_final_seq").alias("hi"),
-        ).collect()[0]
+            F.sum((F.col("_final_op") == "I").cast("long")).alias("fo_i"),
+            F.sum((F.col("_final_op") == "U").cast("long")).alias("fo_u"),
+            F.sum((F.col("_final_op") == "D").cast("long")).alias("fo_d"),
+        ).collect()
 
-        if stats["n_events"] == 0:
+        if not per_bucket:
             deduped.unpersist()
             return {"skipped": True, "empty": True, "epoch_key": epoch_key}
+        touched = {r["_mb"] for r in per_bucket}
+        b_rows = sum(r["n_keys"] for r in per_bucket)
+        n_events = sum(r["n_events"] for r in per_bucket)
 
-        m = merge_into(
-            self.table,
-            deduped,
-            payload,
-            policy=self.policy,
-            derived=self._derived_specs(),
-            epoch_key=epoch_key,
-        )
+        if self.merge_mode == "mor":
+            from tapdata_connectors_spark.lake.delta import append_delta
+
+            m = append_delta(
+                self.table,
+                deduped,
+                payload,
+                derived=self._derived_specs(),
+                epoch_key=epoch_key,
+                b_rows=b_rows,
+            )
+            # MOR lineage reports the batch's resolved-op intents per bucket
+            m["by_bucket"] = {
+                r["_mb"]: {"insert": r["fo_i"], "update": r["fo_u"], "delete": r["fo_d"]}
+                for r in per_bucket
+            }
+        else:
+            m = merge_into(
+                self.table,
+                deduped,
+                payload,
+                policy=self.policy,
+                derived=self._derived_specs(),
+                epoch_key=epoch_key,
+                b_rows=b_rows,
+                touched=touched,
+            )
         deduped.unpersist()
+        if self.merge_mode == "mor":
+            counts = self.table.delta_file_counts()
+            if counts and max(counts.values()) >= self.compact_every:
+                self.table.compact(min_deltas=self.compact_every)
         wall_ms = int((time.time() - t0) * 1000)
-        self._write_lineage(epoch, slice_no, stats, m, wall_ms)
-        return {**m, "epoch_key": epoch_key, "n_events": stats["n_events"], "wall_ms": wall_ms}
+        self._write_lineage(epoch, slice_no, per_bucket, m, wall_ms)
+        return {**m, "epoch_key": epoch_key, "n_events": n_events, "wall_ms": wall_ms}
 
-    def _write_lineage(self, epoch, slice_no, stats, m, wall_ms) -> None:
-        row = (
-            epoch, slice_no, stats["lo"], stats["hi"], stats["n_events"],
-            stats["n_i"], stats["n_u"], stats["n_d"], 0, stats["n_dupes"],
-            m.get("merge_added", 0), m.get("merge_updated", 0),
-            m.get("merge_deleted", 0), wall_ms,
+    def _apply_slice_sequential(self, sl, epoch, slice_no, epoch_key, payload, t0) -> dict:
+        from tapdata_connectors_spark.lake.merge import merge_events_sequential
+
+        per_bucket = (
+            sl.groupBy(self.table.bucket_expr("url").alias("_mb"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum((F.col("op") == "I").cast("long")).alias("n_i"),
+                F.sum((F.col("op") == "U").cast("long")).alias("n_u"),
+                F.sum((F.col("op") == "D").cast("long")).alias("n_d"),
+                (F.count(F.lit(1)) - F.approx_count_distinct("event_seq")).alias("n_dupes"),
+                F.min("event_seq").alias("lo"),
+                F.max("event_seq").alias("hi"),
+                F.lit(0).alias("n_keys"),
+            )
+            .collect()
         )
+        if not per_bucket:
+            return {"skipped": True, "empty": True, "epoch_key": epoch_key}
+        touched = {r["_mb"] for r in per_bucket}
+        n_events = sum(r["n_events"] for r in per_bucket)
+        m = merge_events_sequential(
+            self.table, sl, payload, self.policy,
+            derived=self._derived_specs(), epoch_key=epoch_key, touched=touched,
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        self._write_lineage(epoch, slice_no, per_bucket, m, wall_ms)
+        return {**m, "epoch_key": epoch_key, "n_events": n_events, "wall_ms": wall_ms}
+
+    def _write_lineage(self, epoch, slice_no, per_bucket, m, wall_ms) -> None:
+        """One lineage row per (epoch, slice, bucket): offset range, event
+        counts, merge stats — the north rule's per-partition lineage."""
+        by_bucket = m.get("by_bucket", {})
+        rows = []
+        for r in per_bucket:
+            bb = by_bucket.get(r["_mb"], {})
+            rows.append((
+                epoch, slice_no, int(r["_mb"]), r["lo"], r["hi"], r["n_events"],
+                r["n_i"], r["n_u"], r["n_d"], 0, r["n_dupes"],
+                bb.get("insert", 0), bb.get("update", 0), bb.get("delete", 0),
+                wall_ms,
+            ))
         (
-            self.spark.createDataFrame([row], LINEAGE_SCHEMA)
+            self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
             .coalesce(1)
             .write.mode("append")
             .parquet(self.lineage_path)

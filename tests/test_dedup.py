@@ -70,7 +70,10 @@ def test_delete_resets_prior_values(spark):
         ev(3, "U", "u1", html=b"new"),  # update after delete: partial, on absent row
     ])
     r = out["u1"]
-    assert r["_final_op"] == "U"
+    # delete-then-update-only is its own state: the delete must apply, the
+    # trailing updates are policy-resolved (default: dropped)
+    assert r["_final_op"] == "DU"
+    assert r["_del_seq"] == 2
     assert bytes(r["html"]) == b"new"
     assert r["lang"] is None and not r["__set_lang"]  # en must NOT leak past the delete
 
