@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the round driver.
+
+Headline: end-to-end CDC replay throughput (staged binlog-style events →
+LWW fold → Arrow html→text extraction → merge-on-read delta append →
+compaction), the BASELINE.json metric ("change-events/sec applied").
+
+Also times every driver-contract query at $SPARK_GRAFT_SF_DIR.
+
+Scaling evidence (BASELINE.md sandbox protocol): with --scaling (or
+SPARK_GRAFT_SCALING=1), replays the SAME staged input at local[8] and
+local[32] in fresh JVMs, interleaved A/B with repeats and medians (the
+sandbox host is shared and noisy), and reports
+efficiency = (T32/T8)/4. Results persist to BENCH/scaling.json and are
+folded into the JSON line of subsequent runs.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_EVENTS,
+SPARK_GRAFT_SCALING, SPARK_GRAFT_SCALING_REPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = sf_of(SF_DIR)
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(40_000_000 * SF))))
+N_URLS = max(1000, N_EVENTS // 8)
+EPOCH = max(250_000, N_EVENTS // 4)
+STAGING = f"/tmp/spark_graft_bench/ev_{N_EVENTS}"
+
+REPLAY_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from tapdata_connectors_spark.session import build_session
+from tapdata_connectors_spark.streaming import CdcPipeline
+
+cores = int(sys.argv[1]); staging = sys.argv[2]; table = sys.argv[3]
+spark = build_session(f"local[{{cores}}]", shuffle_partitions=cores,
+                      extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+pipe = CdcPipeline(spark, table, staging, n_buckets=64,
+                   merge_mode="mor", compact_every=8)
+t0 = time.time()
+pipe.replay_batch()
+pipe.table.compact()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"sec": dt}}))
+spark.stop()
+"""
+
+
+def ensure_staged(spark) -> float:
+    from tapdata_connectors_spark.sources import (
+        GeneratorConfig,
+        generate_events,
+        stage_events,
+    )
+
+    if os.path.exists(os.path.join(STAGING, "_epochs")):
+        return 0.0
+    t0 = time.time()
+    cfg = GeneratorConfig(
+        n_events=N_EVENTS, n_urls=N_URLS, epoch_size=EPOCH,
+        p_hot=0.1, p_dup=0.01, p_update=0.35, p_delete=0.10,
+    )
+    stage_events(generate_events(spark, cfg), STAGING)
+    return time.time() - t0
+
+
+def run_replay_subprocess(cores: int) -> float:
+    table = tempfile.mkdtemp(prefix="bench_pages_")
+    env = dict(os.environ, PYTHONPATH=REPO,
+               SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    code = REPLAY_SNIPPET.format(repo=REPO)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code, str(cores), STAGING, table],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[7:])["sec"]
+        raise RuntimeError(f"replay failed (cores={cores}):\n{r.stderr[-2000:]}")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def scaling_measurement(reps: int) -> dict:
+    times: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(reps):
+        for cores in (8, 32):  # interleaved to average out host drift
+            times[cores].append(run_replay_subprocess(cores))
+    t8 = statistics.median(times[8])
+    t32 = statistics.median(times[32])
+    eff = (N_EVENTS / t32) / (N_EVENTS / t8) / (32 / 8)
+    out = {
+        "events": N_EVENTS,
+        "t8_sec": round(t8, 1), "t32_sec": round(t32, 1),
+        "t8_all": [round(x, 1) for x in times[8]],
+        "t32_all": [round(x, 1) for x in times[32]],
+        "eps8": round(N_EVENTS / t8), "eps32": round(N_EVENTS / t32),
+        "efficiency_8_to_32": round(eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
+def main() -> None:
+    from tapdata_connectors_spark.queries import QUERIES
+    from tapdata_connectors_spark.session import build_session
+    from tapdata_connectors_spark.streaming import CdcPipeline
+
+    do_scaling = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1"
+
+    spark = build_session(
+        f"local[{CPUS}]", shuffle_partitions=CPUS, app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    gen_sec = ensure_staged(spark)
+
+    # headline replay in-process at CPUS
+    table = tempfile.mkdtemp(prefix="bench_pages_")
+    pipe = CdcPipeline(spark, table, STAGING, n_buckets=64,
+                       merge_mode="mor", compact_every=8)
+    t0 = time.time()
+    pipe.replay_batch()
+    pipe.table.compact()
+    replay_sec = time.time() - t0
+    final_rows = pipe.table.read().count()
+    shutil.rmtree(table, ignore_errors=True)
+
+    qtimes: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    scaling = None
+    if do_scaling:
+        scaling = scaling_measurement(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")))
+    else:
+        p = os.path.join(REPO, "BENCH", "scaling.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                scaling = json.load(f)
+
+    out = {
+        "metric": "cdc_replay_wall",
+        "value": round(replay_sec, 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "events": N_EVENTS,
+        "events_per_sec": round(N_EVENTS / replay_sec),
+        "final_rows": final_rows,
+        "generate_sec": round(gen_sec, 1),
+        "cpus": CPUS,
+        "merge_mode": "mor",
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

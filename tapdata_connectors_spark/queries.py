@@ -487,6 +487,382 @@ SELECT query_id, rank, neighbor_id, dot FROM ranked WHERE rank <= 5
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection & embedding indexing (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def _tokens_col():
+    return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): word 3-gram shingles of lowered text."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("tk"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("tk")) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("tk"), i),
+            F.element_at(F.col("tk"), i + F.lit(1)),
+            F.element_at(F.col("tk"), i + F.lit(2)),
+        ),
+    )
+    return d.select("doc_id", F.explode(sh).alias("s"))
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+        FROM documents)
+"""
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): 8 minhash permutations banded 4x2 — the
+    shingle->minhash->band->bucket pipeline of MinHash LSH."""
+    sh = _shingles(spark, sf_dir)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
+    h = _md5_slice(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("s")))
+    mh = (
+        sh.select("doc_id", "s", perms)
+        .select("doc_id", "p", h.alias("h"))
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+    return mh.groupBy("doc_id", (F.col("p") / 2).cast("int").alias("band")).agg(
+        F.concat(
+            F.max(F.when(F.col("p") % 2 == 0, F.col("mh"))).cast("string"),
+            F.lit("_"),
+            F.max(F.when(F.col("p") % 2 == 1, F.col("mh"))).cast("string"),
+        ).alias("sig")
+    )
+
+
+_SQL_MINHASH_BANDS = f"""
+  SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+         CAST(max(CASE WHEN p % 2 = 0 THEN mh END) AS VARCHAR) || '_' ||
+         CAST(max(CASE WHEN p % 2 = 1 THEN mh END) AS VARCHAR) AS sig
+  FROM (
+    SELECT doc_id, p,
+           min(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s), 1, 8))::BIGINT) AS mh
+    FROM ({_SQL_SHINGLES}) sh, (SELECT unnest(range(0,8)) AS p) perms
+    GROUP BY doc_id, p
+  ) GROUP BY doc_id, p // 2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate CANDIDATE pairs: docs sharing any band
+    bucket. Scale path: the self-join is on (band, sig) — work ∝ bucket
+    sizes, never all-pairs."""
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({_SQL_MINHASH_BANDS}) a
+JOIN ({_SQL_MINHASH_BANDS}) b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with EXACT shingle-set Jaccard (integer
+    intersection/union counts; is_dup at >= 0.8). The candidate->verify
+    two-phase is the scalable near-dup shape: exact set work only on
+    bucket-collision pairs."""
+    cand = q_dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))).alias("n_union"),
+            (F.coalesce(F.col("n_inter"), F.lit(0)) * 10
+             >= (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))) * 8
+             ).alias("is_dup"),
+        )
+    )
+
+
+SQL_DEDUP_MINHASH_JACCARD = f"""
+WITH cand AS ({SQL_DEDUP_MINHASH_LSH}),
+sh AS (SELECT DISTINCT doc_id, s FROM ({_SQL_SHINGLES})),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       na.n + nb.n - coalesce(i.n_inter, 0) AS n_union,
+       coalesce(i.n_inter, 0) * 10 >= (na.n + nb.n - coalesce(i.n_inter, 0)) * 8 AS is_dup
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over token hashes (sign of per-bit
+    weight sums) — near-dup fingerprint whose hamming distance tracks
+    similarity; integer-only arithmetic for cross-engine determinism."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("tk"))
+    tok = d.select("doc_id", F.explode("tk").alias("t"))
+    h = _md5_slice(F.col("t"))
+    bits = tok.select(
+        "doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    contrib = F.when(F.expr("shiftright(h, b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(contrib).alias("w"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
+        ).cast("bigint").alias("simhash")
+    )
+
+
+SQL_DEDUP_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h, unnest(range(0,16)) AS b
+  FROM tok
+), per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN w > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "en"],
+}
+
+
+def q_lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword hit counts per language,
+    argmax with deterministic tie-break ('und' when no evidence)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("tk"))
+    scores = [
+        F.size(F.filter(F.col("tk"), lambda x: x.isin(ws))).alias(f"s_{lang}")
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    d = d.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"s_{x}") for x in _LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # dict order = tie-break priority
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return d.select(
+        "doc_id", pred.alias("pred_lang"),
+        *[F.col(f"s_{x}").cast("long").alias(f"s_{x}") for x in _LANG_MARKERS],
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, ws in _LANG_MARKERS.items():
+        lst = ",".join(f"'{w}'" for w in ws)
+        parts.append(
+            f"CAST(len(list_filter(tk, x -> x IN ({lst}))) AS BIGINT) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+SQL_LANG_ID_STOPWORD = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), s AS (SELECT doc_id, {_sql_lang_scores()} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       s_en, s_de, s_fr, s_es
+FROM s
+"""
+
+
+def _scaled_vec():
+    return F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000.0).cast("long")
+    )
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH over embeddings: 8 planes with deterministic
+    integer weights (md5-derived), bucket = sign-bit pattern. The ANN scale
+    path: candidate search only within a bucket."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _scaled_vec().alias("v"))
+    planes = e.select("vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p"))
+    w = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("v"))),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pl"), F.col("p").cast("string"), F.lit("_"), i.cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(2001),
+        ) - F.lit(1000),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), w, lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    per_plane = planes.select("vec_id", "p", (dot > 0).alias("bit"))
+    return per_plane.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("bit"), F.expr("shiftleft(1, p)")).otherwise(F.lit(0)))
+        .cast("bigint").alias("bucket")
+    )
+
+
+SQL_EMBEDDING_LSH_BUCKETS = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), planes AS (
+  SELECT vec_id, v, unnest(range(0,8)) AS p FROM scaled
+), dots AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(v)+1),
+           i -> v[i] * ((('0x' || substr(md5('pl' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)
+         )) > 0 AS bit
+  FROM planes
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN bit THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+
+def q_embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment: centroids = vectors 0..3 (deterministic
+    'training'), each vector assigned to the nearest centroid by exact
+    integer L2^2 (||a||^2 + ||c||^2 - 2 a.c on scaled components). The
+    inverted-list build step of IVF ANN; broadcast the centroids, never
+    shuffle the corpus."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _scaled_vec().alias("v"))
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    j = e.join(F.broadcast(cents))
+    dot = F.aggregate(F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n2 = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
+                                lambda a, b: a * a + b * b),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    d2 = (n2 - 2 * dot).alias("d2")
+    j = j.select("vec_id", "cid", d2)
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), F.col("d2").alias("dist2"))
+    )
+
+
+SQL_EMBEDDING_IVF_ASSIGN = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM scaled WHERE vec_id < 4
+), pairs AS (
+  SELECT s.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*s.v[i] + c.cv[i]*c.cv[i]))
+         - 2 * list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*c.cv[i])) AS d2
+  FROM scaled s, cents c
+)
+SELECT vec_id, cid AS centroid_id, d2 AS dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM pairs)
+WHERE rn = 1
+"""
+
+
+def q_resume_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampToStreamOffset analog (MysqlConnector.java:760-771,
+    MysqlBinlogPositionUtil.findByLessTimestamp): map a wall-clock restart
+    point to the first replayable source position."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return ev.agg(
+        F.min(F.when(F.col("ts") >= cut, F.col("event_id"))).alias("resume_seq"),
+        F.sum((F.col("ts") < cut).cast("long")).alias("n_before"),
+        F.sum((F.col("ts") >= cut).cast("long")).alias("n_after"),
+    )
+
+
+SQL_RESUME_FROM_TIMESTAMP = """
+SELECT min(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN event_id END) AS resume_seq,
+       sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_before,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_after
+FROM events
+"""
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getTableInfo analog (MysqlConnector.java:774-780): row count +
+    deterministic storage-bytes estimate from column widths."""
+    o = _t(spark, sf_dir, "orders")
+    bytes_row = (
+        F.length(F.col("o_orderstatus")) + F.length(F.col("o_orderpriority"))
+        + F.lit(8 * 3) + F.lit(8)
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bytes_row).cast("bigint").alias("est_bytes"),
+    )
+
+
+SQL_TABLE_STATS = """
+SELECT count(*) AS n_rows,
+       CAST(sum(length(o_orderstatus) + length(o_orderpriority) + 24 + 8) AS BIGINT) AS est_bytes
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -530,3 +906,25 @@ ORACLE_SQL: dict[str, str] = {
     "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
     "knn_brute_cosine": SQL_KNN_BRUTE_COSINE,
 }
+
+QUERIES.update({
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_jaccard": q_dedup_minhash_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "lang_id_stopword": q_lang_id_stopword,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_ivf_assign": q_embedding_ivf_assign,
+    "resume_from_timestamp": q_resume_from_timestamp,
+    "table_stats": q_table_stats,
+})
+
+ORACLE_SQL.update({
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_jaccard": SQL_DEDUP_MINHASH_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "lang_id_stopword": SQL_LANG_ID_STOPWORD,
+    "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
+    "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
+    "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,
+    "table_stats": SQL_TABLE_STATS,
+})
