@@ -47,8 +47,9 @@ def sf_of(path: str) -> float:
 SF = sf_of(SF_DIR)
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(40_000_000 * SF))))
 N_URLS = max(1000, N_EVENTS // 8)
-EPOCH = max(250_000, N_EVENTS // 4)
-STAGING = f"/tmp/spark_graft_bench/ev_{N_EVENTS}"
+EPOCH = max(100_000, N_EVENTS // 8)
+HTML_KB = int(os.environ.get("SPARK_GRAFT_BENCH_HTML_KB", "3"))
+STAGING = f"/tmp/spark_graft_bench/ev_{N_EVENTS}_kb{HTML_KB}"
 
 REPLAY_SNIPPET = r"""
 import json, sys, time
@@ -62,7 +63,7 @@ spark = build_session(f"local[{{cores}}]", shuffle_partitions=cores,
 pipe = CdcPipeline(spark, table, staging, n_buckets=64,
                    merge_mode="mor", compact_every=8)
 t0 = time.time()
-pipe.replay_batch()
+pipe.replay_batch(max_concurrent_epochs=4)
 pipe.table.compact()
 dt = time.time() - t0
 print("RESULT " + json.dumps({{"sec": dt}}))
@@ -83,6 +84,7 @@ def ensure_staged(spark) -> float:
     cfg = GeneratorConfig(
         n_events=N_EVENTS, n_urls=N_URLS, epoch_size=EPOCH,
         p_hot=0.1, p_dup=0.01, p_update=0.35, p_delete=0.10,
+        html_kb=HTML_KB,  # Common-Crawl-like page weight: extraction CPU dominates
     )
     stage_events(generate_events(spark, cfg), STAGING)
     return time.time() - t0
@@ -146,7 +148,7 @@ def main() -> None:
     pipe = CdcPipeline(spark, table, STAGING, n_buckets=64,
                        merge_mode="mor", compact_every=8)
     t0 = time.time()
-    pipe.replay_batch()
+    pipe.replay_batch(max_concurrent_epochs=4)
     pipe.table.compact()
     replay_sec = time.time() - t0
     final_rows = pipe.table.read().count()
@@ -180,6 +182,7 @@ def main() -> None:
         "generate_sec": round(gen_sec, 1),
         "cpus": CPUS,
         "merge_mode": "mor",
+        "html_kb": HTML_KB,
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -87,6 +87,17 @@ def append_delta(
     entries = table.write_data_files(
         delta, "_mb", kind="delta", columns=cols_map, types=types_map
     )
+    # per-file row counts from parquet footers: driver-side metadata reads
+    # (pyarrow), no Spark job — feeds per-partition lineage
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        for e in entries:
+            e["rows"] = _pq.read_metadata(_os.path.join(table.path, e["path"])).num_rows
+    except Exception:
+        pass
     version = table.commit_files(
         entries,
         replaced_buckets=None,
@@ -94,4 +105,4 @@ def append_delta(
         summary={"op": "append_delta", "batch_rows": b_rows,
                  "wall_ms": int(time.time() * 1000)},
     )
-    return {"version": version, "delta_files": len(entries)}
+    return {"version": version, "delta_files": len(entries), "entries": entries}

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -127,6 +128,18 @@ class Manifest:
         )
 
 
+# per-table-path commit lock: commits are read-modify-write on the manifest,
+# and concurrent epoch application (driver threads) must serialize them.
+# Single-writer-process model; a real deployment would CAS on the catalog.
+_COMMIT_LOCKS: dict[str, threading.RLock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_for(path: str) -> threading.RLock:
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(path, threading.RLock())
+
+
 class LakeTable:
     """Handle on a lake table directory. Cheap to construct; re-reads the
     CURRENT pointer lazily so it always sees the latest committed snapshot."""
@@ -134,6 +147,7 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self._lock = _lock_for(self.path)
 
     # ---------------- catalog primitives ----------------
     @property
@@ -228,12 +242,13 @@ class LakeTable:
         self._commit_ddl(m, {"op": "widen_column", "column": name, "type": new_type}, epoch_key)
 
     def _commit_ddl(self, m: Manifest, summary: dict, epoch_key: str | None) -> None:
-        if epoch_key is not None:
-            m.applied_epochs[epoch_key] = "ddl"
-        m.version += 1
-        m.parent = m.version - 1
-        m.summary = summary
-        self._commit(m)
+        with self._lock:
+            if epoch_key is not None:
+                m.applied_epochs[epoch_key] = "ddl"
+            m.version += 1
+            m.parent = m.version - 1
+            m.summary = summary
+            self._commit(m)
 
     @staticmethod
     def _field(m: Manifest, name: str) -> Field:
@@ -402,13 +417,19 @@ class LakeTable:
         buckets = [b for b in buckets if counts.get(b)]
         if not buckets:
             return {"buckets": [], "version": self.current_version()}
+        bset = set(buckets)
+        consumed = {
+            f["path"] for f in self.manifest().files if f["bucket"] in bset
+        }
         resolved = self.read_raw(buckets=buckets).withColumn(
             "_mb", self.bucket_expr()
         )
         entries = self.write_data_files(resolved, "_mb")
+        # replace exactly the files that were resolved: a delta appended
+        # concurrently (parallel epoch application) survives the commit
         v = self.commit_files(
             entries,
-            replaced_buckets=set(buckets),
+            replaced_paths=consumed,
             summary={"op": "compact", "buckets": len(buckets)},
         )
         return {"buckets": buckets, "version": v}
@@ -485,23 +506,27 @@ class LakeTable:
         epoch_key: str | None = None,
         epoch_hash: str = "",
         summary: dict | None = None,
+        replaced_paths: set[str] | None = None,
     ) -> int:
-        """Commit a COW snapshot: keep files outside replaced_buckets, add
-        new entries, optionally record an applied epoch. Returns version."""
-        m = self.manifest()
-        keep = (
-            [f for f in m.files if f["bucket"] not in replaced_buckets]
-            if replaced_buckets
-            else list(m.files)
-        )
-        m.files = keep + new_entries
-        if epoch_key is not None:
-            m.applied_epochs[epoch_key] = epoch_hash
-        m.version += 1
-        m.parent = m.version - 1
-        m.summary = {**(summary or {}), "ts_ms": int(time.time() * 1000)}
-        self._commit(m)
-        return m.version
+        """Commit a snapshot: keep files outside replaced_buckets (COW) or
+        not in replaced_paths (compaction — path-precise so a concurrently
+        appended delta can never be dropped), add new entries, optionally
+        record an applied epoch. Atomic under the per-table commit lock."""
+        with self._lock:
+            m = self.manifest()
+            keep = list(m.files)
+            if replaced_buckets:
+                keep = [f for f in keep if f["bucket"] not in replaced_buckets]
+            if replaced_paths:
+                keep = [f for f in keep if f["path"] not in replaced_paths]
+            m.files = keep + new_entries
+            if epoch_key is not None:
+                m.applied_epochs[epoch_key] = epoch_hash
+            m.version += 1
+            m.parent = m.version - 1
+            m.summary = {**(summary or {}), "ts_ms": int(time.time() * 1000)}
+            self._commit(m)
+            return m.version
 
     def epoch_applied(self, epoch_key: str) -> bool:
         return epoch_key in self.manifest().applied_epochs

@@ -3,24 +3,85 @@
 The scale-defining operator of the engine's MOR mode (the Hudi
 merge-on-read / Paimon partial-update analog; the reference's own closest
 shape is ClickHouse ReplacingMergeTree + OPTIMIZE FINAL —
-ClickhouseConnector.java:273,347: last-writer-wins resolved at read, not at
-write). Write cost per micro-batch is O(batch); this operator pays the
-deferred merge at read/compaction time in ONE shuffle.
+ClickhouseConnector.java:273,347). Write cost per micro-batch is O(batch);
+this operator pays the deferred merge at read/compaction time.
 
-Thin instantiation of operators/resolve.resolve_events at the default
-write policy (MOR mode asserts the default policy; delta rows are already
-policy-normalized at append time — lake/delta.py)."""
+Physical form: ONE hash aggregate — no window, no sort. The generic
+sequential resolver (operators/resolve.py) needs prefix windows because
+non-default policies make effectiveness position-dependent; under the
+DEFAULT policy (the only one MOR mode admits) the algebra collapses:
+
+- let make = max order of live resets (base row / insert delta),
+  kill = max order of tombstones/deletes; the row is dead iff
+  kill > make (or no make at all);
+- when alive, the latest live reset carries a FULL row image, so the
+  last-set value of every column automatically postdates it — plain
+  per-column max_by over set values is exact, no ≥-reset filter needed;
+- update deltas that fall in a dead period are harmless: any later live
+  reset outranks their column sets with a full image, and if the row ends
+  dead the values are nulled anyway;
+- keys with only floating updates (update-on-missing, dropped by policy)
+  have neither make nor kill and emit no row.
+
+Sort-free matters doubly at scale: hash aggregation keeps map-side partial
+combine (hot-key friendly) and avoids sorting multi-KB html/text payload
+rows — the memory-bandwidth hog that made windowed compaction degrade at
+high parallelism.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
+from tapdata_connectors_spark.lake.table import type_of
 from tapdata_connectors_spark.operators.dedup import ColumnSpec
-from tapdata_connectors_spark.operators.resolve import KIND, ORD, resolve_events
-from tapdata_connectors_spark.plans.policies import DEFAULT_POLICY
+from tapdata_connectors_spark.schema import SEQ_COL, TOMBSTONE_COL
+
+KIND = "_kind"
+ORD = "_ord"
 
 __all__ = ["KIND", "ORD", "resolve_mor"]
 
 
 def resolve_mor(unified: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
-    return resolve_events(unified, payload, key=key, policy=DEFAULT_POLICY)
+    kind = F.col(KIND)
+    is_live_reset = kind.isin("B", "I")
+    is_kill = kind.isin("T", "D")
+
+    aggs = [
+        F.max(F.when(is_live_reset, F.col(ORD))).alias("_make"),
+        F.max(F.when(is_kill, F.col(ORD))).alias("_kill"),
+        F.max(F.col(ORD)).alias("_last"),
+    ]
+    for c in payload:
+        ty = type_of(c.type)
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(ORD).alias("o"), F.col(c.name).cast(ty).alias("v")),
+                F.when(F.col(f"__set_{c.name}"), F.col(ORD)),
+            ).alias(f"_p_{c.name}")
+        )
+    g = unified.groupBy(key).agg(*aggs)
+
+    make, kill = F.col("_make"), F.col("_kill")
+    dead = kill.isNotNull() & (make.isNull() | (kill > make))
+    # floating updates on a missing key resolve to nothing at all
+    g = g.filter(make.isNotNull() | kill.isNotNull())
+
+    sel = [F.col(key)]
+    for c in payload:
+        ty = type_of(c.type)
+        p = F.col(f"_p_{c.name}")
+        val = F.when(~dead & p.isNotNull(), p["v"]).otherwise(F.lit(None).cast(ty))
+        if c.name == "warc_ts":
+            # ordering timestamp survives on tombstones (redelivery guard)
+            val = F.when(dead, kill["ts"]).otherwise(val)
+        sel.append(val.alias(c.name))
+    sel += [
+        # a dead row's order is its killing reset (post-delete floating
+        # updates never advance it — matches the COW merge and the oracle)
+        F.when(dead, kill["seq"]).otherwise(F.col("_last")["seq"]).alias(SEQ_COL),
+        dead.alias(TOMBSTONE_COL),
+    ]
+    return g.select(*sel)

@@ -1,0 +1,127 @@
+"""File sources: tabular files → snapshot tables or CDC changelogs.
+
+The analog of the reference's file-connector family (CSV/JSON/XML/Excel
+over local/FTP/SFTP/S3/... — connectors-common/file-connector-core/
+FileConnector.java, connectors/csv-connector/CsvConnector.java,
+file-storages/*): in Spark, remote filesystems are Hadoop FS URLs and the
+formats are built-in DataSource readers, so the whole family collapses to
+schema-enforced `spark.read` plus a column-mapping step into the engine's
+event model.
+
+Offset-resumable line reads (reference FileOffset) are unnecessary here:
+snapshot scans restart cheaply and streaming resume is handled by the
+epoch-marker checkpoint (streaming/driver.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+
+_FORMATS = {"parquet", "csv", "json", "orc"}
+
+
+def load_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema-enforced snapshot read of a file directory (never infers in
+    production paths — inference is a full extra pass at scale)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt} (one of {sorted(_FORMATS)})")
+    reader = spark.read.format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} requires an explicit schema (no inference)")
+    return reader.load(path)
+
+
+@dataclass(frozen=True)
+class ChangelogMapping:
+    """Column mapping from an arbitrary changelog table to EVENTS_SCHEMA —
+    the configurable analog of each reference connector's event-wrap step
+    (SourceRecord -> TapRecordEvent, MysqlReader.java:563-692)."""
+
+    key: str  # source column holding the page key
+    seq: str  # monotone position column (binlog pos / LSN / kafka offset)
+    op: str  # op column
+    ts: str  # event-time column (version timestamp)
+    op_values: dict[str, str] = field(
+        default_factory=lambda: {"insert": "I", "update": "U", "delete": "D"}
+    )
+    html: str | None = None  # payload columns (optional)
+    lang: str | None = None
+    epoch_size: int = 100_000
+
+
+def changelog_to_events(df: DataFrame, m: ChangelogMapping) -> DataFrame:
+    """Map a generic changelog DataFrame into EVENTS_SCHEMA, ready for
+    CdcPipeline staging. Pure JVM expressions."""
+    op = F.col(m.op).cast("string")
+    for raw, code in m.op_values.items():
+        op = F.when(F.col(m.op) == raw, F.lit(code)).otherwise(op)
+    url = F.col(m.key).cast("string")
+    ts = F.col(m.ts).cast("timestamp")
+    html = (F.col(m.html).cast("binary") if m.html else F.lit(None).cast("binary"))
+    lang = (F.col(m.lang).cast("string") if m.lang else F.lit(None).cast("string"))
+    after = F.when(
+        op != "D",
+        F.struct(url.alias("url"), ts.alias("warc_ts"), html.alias("html"), lang.alias("lang")),
+    )
+    seq = F.col(m.seq).cast("long")
+    return df.select(
+        seq.alias("event_seq"),
+        (seq / F.lit(m.epoch_size)).cast("int").alias("epoch"),
+        op.alias("op"),
+        url.alias("url"),
+        ts.alias("warc_ts"),
+        F.lit(None).cast(EVENTS_SCHEMA["before"].dataType).alias("before"),
+        after.alias("after"),
+        F.lit(None).cast(EVENTS_SCHEMA["removed_fields"].dataType).alias("removed_fields"),
+        F.lit(None).cast(EVENTS_SCHEMA["extras"].dataType).alias("extras"),
+        F.lit(None).cast(EVENTS_SCHEMA["ddl"].dataType).alias("ddl"),
+        F.concat(F.lit("file_"), seq.cast("string")).alias("exactly_once_id"),
+        (F.unix_timestamp(ts) * 1000).alias("ts_ms"),
+    )
+
+
+def kafka_changelog_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+):
+    """Kafka CDC source (reference: kafka-enhanced-connector
+    KafkaConsumerService.java:84,175-178; offsets KafkaOffset.java:14) →
+    `readStream.format('kafka')` with JSON-valued events parsed into
+    EVENTS_SCHEMA. The spark-sql-kafka connector jar is not shipped in this
+    environment; the plumbing is real and gated behind a clear error."""
+    try:
+        stream = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - jar not present in sandbox
+        raise RuntimeError(
+            "kafka source requires the spark-sql-kafka connector jar on the "
+            "classpath (spark-submit --packages org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:<spark-version>)"
+        ) from e
+    parsed = stream.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed

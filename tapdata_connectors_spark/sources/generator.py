@@ -78,6 +78,10 @@ class GeneratorConfig:
     # `extras` map for I/U events with seq > first_seq
     extras_cols: tuple[tuple[str, int, str], ...] = ()
     html_words: int = 40  # avg body length in vocab words
+    # approximate page size in KB: adds repeated-paragraph filler so pages
+    # carry Common-Crawl-like weight (repeat() is cheap to generate and
+    # snappy-compressible, but decompressed bytes drive real extraction CPU)
+    html_kb: int = 0
 
 
 def _u(salt: int, seed: int, col: F.Column) -> F.Column:
@@ -148,13 +152,24 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
         ),
     )
     title = F.concat(F.lit("Page "), url_id.cast("string"), F.lit(" v"), eseq.cast("string"))
-    html_str = F.concat(
+    parts = [
         F.lit("<html><head><title>"), title,
         F.lit("</title><style>body{margin:0}</style></head><body><h1>"), title,
         F.lit("</h1><p>"), words,
-        F.lit(" &amp; more</p><script>var t="), eseq.cast("string"),
+        F.lit(" &amp; more</p>"),
+    ]
+    if cfg.html_kb > 0:
+        para = (
+            "<p>crawl archive capture snapshot render fetch parse index "
+            "tokenize extract dedupe merge compact replay resume commit</p>"
+        )  # 118 bytes
+        n_para = F.lit(cfg.html_kb * 1024 // len(para)) + _h(13, s, eseq, 8).cast("int")
+        parts += [F.repeat(F.lit(para), n_para.cast("int"))]
+    parts += [
+        F.lit("<script>var t="), eseq.cast("string"),
         F.lit(";</script></body></html>"),
-    )
+    ]
+    html_str = F.concat(*parts)
     html_bin = F.encode(html_str, "UTF-8")
     lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (_h(8, s, url_id, len(_LANGS)) + 1).cast("int"))
 
@@ -245,7 +260,15 @@ def stage_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     (Auto-Loader/Delta-source shaped), not a hand-rolled scheduler."""
     import os as _os
 
+    from pyspark.sql import functions as _F
+
     df.write.partitionBy("epoch").parquet(path, mode=mode)
+    # per-epoch DDL presence, recorded in the marker so replay can skip the
+    # DDL-scan job for DDL-free epochs (pure metadata, computed once here)
+    ddl_epochs = {
+        r["epoch"]
+        for r in df.filter(_F.col("op") == "DDL").select("epoch").distinct().collect()
+    }
     mdir = _os.path.join(path, "_epochs")
     _os.makedirs(mdir, exist_ok=True)
     epochs = sorted(
@@ -257,6 +280,6 @@ def stage_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         if not _os.path.exists(mpath):
             tmp = mpath + ".tmp"
             with open(tmp, "w") as f:
-                f.write(str(k))
+                f.write(f"{k} ddl" if k in ddl_epochs else str(k))
             _os.replace(tmp, mpath)
         _os.utime(mpath, (base + k, base + k))

@@ -82,6 +82,7 @@ class CdcPipeline:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.table = LakeTable(spark, table_path)
+        self._lineage_rows: list[tuple] = []
 
     # ------------------------------------------------------------------
     def init_table(self) -> LakeTable:
@@ -147,7 +148,10 @@ class CdcPipeline:
         return {"version": v}
 
     # ------------------------------------------------------------------
-    def apply_epoch(self, events: DataFrame, epoch: int, key_prefix: str = "") -> list[dict]:
+    def apply_epoch(
+        self, events: DataFrame, epoch: int, key_prefix: str = "",
+        has_ddl: bool | None = None,
+    ) -> list[dict]:
         """Apply one epoch: split at DDL barriers, evolve schema in source
         order, fold+merge each DML slice. Idempotent per (key_prefix, epoch,
         slice).
@@ -161,7 +165,10 @@ class CdcPipeline:
         redelivery the guard must neutralize, while a later batch with the
         rest of the same epoch gets a fresh key and is applied."""
         self.init_table()
-        ddl_rows = (
+        # the staging marker records whether this epoch carries DDL at all
+        # (stage_events computes it once); a False hint skips a whole
+        # scan-job per epoch on the hot path
+        ddl_rows = [] if has_ddl is False else (
             events.filter(F.col("op") == "DDL")
             .select("event_seq", "ddl.*")
             .orderBy("event_seq")
@@ -216,6 +223,12 @@ class CdcPipeline:
             # sequential-faithful resolver over raw events — the per-key
             # fold cannot see "alive at this point in the batch"
             return self._apply_slice_sequential(sl, epoch, slice_no, epoch_key, payload, t0)
+
+        if self.merge_mode == "mor":
+            # single-action fast path: stats ride along the delta write via
+            # observe(); no persist, no separate aggregation job
+            return self._apply_slice_mor(sl, epoch, slice_no, epoch_key, payload, t0)
+
         deduped = (
             lww_fold(sl, payload, key="url")
             .withColumn("_mb", self.table.bucket_expr("url"))
@@ -245,40 +258,79 @@ class CdcPipeline:
         b_rows = sum(r["n_keys"] for r in per_bucket)
         n_events = sum(r["n_events"] for r in per_bucket)
 
-        if self.merge_mode == "mor":
-            from tapdata_connectors_spark.lake.delta import append_delta
-
-            m = append_delta(
-                self.table,
-                deduped,
-                payload,
-                derived=self._derived_specs(),
-                epoch_key=epoch_key,
-                b_rows=b_rows,
-            )
-            # MOR lineage reports the batch's resolved-op intents per bucket
-            m["by_bucket"] = {
-                r["_mb"]: {"insert": r["fo_i"], "update": r["fo_u"], "delete": r["fo_d"]}
-                for r in per_bucket
-            }
-        else:
-            m = merge_into(
-                self.table,
-                deduped,
-                payload,
-                policy=self.policy,
-                derived=self._derived_specs(),
-                epoch_key=epoch_key,
-                b_rows=b_rows,
-                touched=touched,
-            )
+        m = merge_into(
+            self.table,
+            deduped,
+            payload,
+            policy=self.policy,
+            derived=self._derived_specs(),
+            epoch_key=epoch_key,
+            b_rows=b_rows,
+            touched=touched,
+        )
         deduped.unpersist()
-        if self.merge_mode == "mor":
+        wall_ms = int((time.time() - t0) * 1000)
+        self._write_lineage(epoch, slice_no, per_bucket, m, wall_ms)
+        return {**m, "epoch_key": epoch_key, "n_events": n_events, "wall_ms": wall_ms}
+
+    def _apply_slice_mor(self, sl, epoch, slice_no, epoch_key, payload, t0) -> dict:
+        """MOR hot path: exactly ONE Spark action per slice. The fold is
+        computed inside the delta-write job; global lineage stats ride
+        along via observe() (CollectMetrics — no second pass, no persist);
+        per-bucket row counts come from the written parquet footers
+        (driver-side metadata reads, no job)."""
+        from pyspark.sql import Observation
+
+        from tapdata_connectors_spark.lake.delta import append_delta
+
+        deduped = lww_fold(sl, payload, key="url").withColumn(
+            "_mb", self.table.bucket_expr("url")
+        )
+        obs = Observation()
+        observed = deduped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.sum("_n_i"), F.lit(0)).alias("n_i"),
+            F.coalesce(F.sum("_n_u"), F.lit(0)).alias("n_u"),
+            F.coalesce(F.sum("_n_d"), F.lit(0)).alias("n_d"),
+            F.coalesce(F.sum("_n_dupes_approx"), F.lit(0)).alias("n_dupes"),
+            F.min("_min_seq").alias("lo"),
+            F.max("_final_seq").alias("hi"),
+            F.coalesce(F.sum((F.col("_final_op") == "I").cast("long")), F.lit(0)).alias("fo_i"),
+            F.coalesce(F.sum((F.col("_final_op").isin("U", "DU")).cast("long")), F.lit(0)).alias("fo_u"),
+            F.coalesce(F.sum((F.col("_final_op") == "D").cast("long")), F.lit(0)).alias("fo_d"),
+        )
+        m = append_delta(
+            self.table, observed, payload,
+            derived=self._derived_specs(), epoch_key=epoch_key,
+        )
+        stats = obs.get
+        n_events = stats["n_events"]
+        if n_events:
+            per_bucket = [
+                {
+                    "_mb": e["bucket"], "n_keys": e.get("rows"), "n_events": None,
+                    "n_i": None, "n_u": None, "n_d": None, "n_dupes": None,
+                    "lo": stats["lo"], "hi": stats["hi"],
+                }
+                for e in m.get("entries", [])
+            ]
+            m["by_bucket"] = {}
+            wall_ms = int((time.time() - t0) * 1000)
+            global_row = {
+                "_mb": -1, "n_keys": stats["n_keys"], "n_events": n_events,
+                "n_i": stats["n_i"], "n_u": stats["n_u"], "n_d": stats["n_d"],
+                "n_dupes": stats["n_dupes"], "lo": stats["lo"], "hi": stats["hi"],
+            }
+            mm = {"by_bucket": {-1: {"insert": stats["fo_i"], "update": stats["fo_u"],
+                                     "delete": stats["fo_d"]}}}
+            self._buffer_lineage(epoch, slice_no, [global_row] + per_bucket, mm, wall_ms)
+        if not getattr(self, "_defer_compact", False):
             counts = self.table.delta_file_counts()
             if counts and max(counts.values()) >= self.compact_every:
                 self.table.compact(min_deltas=self.compact_every)
         wall_ms = int((time.time() - t0) * 1000)
-        self._write_lineage(epoch, slice_no, per_bucket, m, wall_ms)
         return {**m, "epoch_key": epoch_key, "n_events": n_events, "wall_ms": wall_ms}
 
     def _apply_slice_sequential(self, sl, epoch, slice_no, epoch_key, payload, t0) -> dict:
@@ -311,18 +363,29 @@ class CdcPipeline:
         return {**m, "epoch_key": epoch_key, "n_events": n_events, "wall_ms": wall_ms}
 
     def _write_lineage(self, epoch, slice_no, per_bucket, m, wall_ms) -> None:
-        """One lineage row per (epoch, slice, bucket): offset range, event
-        counts, merge stats — the north rule's per-partition lineage."""
+        self._buffer_lineage(epoch, slice_no, per_bucket, m, wall_ms)
+        self.flush_lineage()
+
+    def _buffer_lineage(self, epoch, slice_no, per_bucket, m, wall_ms) -> None:
+        """Buffer lineage rows (epoch, slice, partition): offset range,
+        event counts, merge stats — the north rule's per-partition lineage.
+        partition_id -1 = slice-global row; buffered rows flush in one
+        write at batch/replay end (a per-slice write job would serialize
+        the hot path)."""
         by_bucket = m.get("by_bucket", {})
-        rows = []
         for r in per_bucket:
             bb = by_bucket.get(r["_mb"], {})
-            rows.append((
+            self._lineage_rows.append((
                 epoch, slice_no, int(r["_mb"]), r["lo"], r["hi"], r["n_events"],
                 r["n_i"], r["n_u"], r["n_d"], 0, r["n_dupes"],
                 bb.get("insert", 0), bb.get("update", 0), bb.get("delete", 0),
                 wall_ms,
             ))
+
+    def flush_lineage(self) -> None:
+        if not self._lineage_rows:
+            return
+        rows, self._lineage_rows = self._lineage_rows, []
         (
             self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
             .coalesce(1)
@@ -331,26 +394,89 @@ class CdcPipeline:
         )
 
     def lineage(self) -> DataFrame:
+        self.flush_lineage()
         return self.spark.read.parquet(self.lineage_path)
 
     # ------------------------------------------------------------------
-    def replay_batch(self) -> list[dict]:
+    def replay_batch(self, max_concurrent_epochs: int = 1) -> list[dict]:
         """Batch-mode replay of the whole staging area in epoch order.
         Idempotent: already-applied (epoch, slice) pairs are skipped, so a
         crashed replay just re-runs (fixture F11 without the streaming
-        machinery)."""
-        epochs = sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(self.staging_path)
-            if d.startswith("epoch=")
-        )
+        machinery).
+
+        max_concurrent_epochs > 1 (MOR mode only): DDL-free epochs apply as
+        CONCURRENT Spark jobs from driver threads. Delta appends are
+        order-independent (resolution is (warc_ts, event_seq)-ordered and
+        the manifest commit is locked), so overlapping epochs hides each
+        epoch's serial driver phases behind another epoch's executor work —
+        the local-mode stand-in for a busy multi-tenant scheduler.
+        DDL-bearing epochs are barriers and apply alone, in order."""
+        epochs: list[tuple[int, bool | None]] = []
+        mdir = os.path.join(self.staging_path, "_epochs")
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                if fn.startswith("epoch-"):
+                    with open(os.path.join(mdir, fn)) as f:
+                        toks = f.read().split()
+                    epochs.append((int(toks[0]), len(toks) > 1 and toks[1] == "ddl"))
+        else:
+            epochs = sorted(
+                (int(d.split("=")[1]), None)
+                for d in os.listdir(self.staging_path)
+                if d.startswith("epoch=")
+            )
         out: list[dict] = []
-        for e in epochs:
+        parallel = (
+            max_concurrent_epochs > 1 and self.merge_mode == "mor"
+            and self.policy == DEFAULT_POLICY
+        )
+        if not parallel:
+            for e, has_ddl in epochs:
+                df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
+                    os.path.join(self.staging_path, f"epoch={e}")
+                )
+                out.extend(self.apply_epoch(df, e, has_ddl=has_ddl))
+            self.flush_lineage()
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(e: int, has_ddl: bool | None) -> list[dict]:
             df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
                 os.path.join(self.staging_path, f"epoch={e}")
             )
-            out.extend(self.apply_epoch(df, e))
+            return self.apply_epoch(df, e, has_ddl=has_ddl)
+
+        # split into DDL-free runs; DDL epochs are sequential barriers
+        self._defer_compact = True
+        try:
+            run: list[tuple[int, bool | None]] = []
+            def flush_run():
+                nonlocal run
+                if not run:
+                    return
+                with ThreadPoolExecutor(max_workers=max_concurrent_epochs) as ex:
+                    for res in ex.map(lambda p: one(*p), run):
+                        out.extend(res)
+                run = []
+                self._maybe_compact()
+            for e, has_ddl in epochs:
+                if has_ddl is False:
+                    run.append((e, has_ddl))
+                else:
+                    flush_run()
+                    out.extend(one(e, has_ddl))
+                    self._maybe_compact()
+            flush_run()
+        finally:
+            self._defer_compact = False
+        self.flush_lineage()
         return out
+
+    def _maybe_compact(self) -> None:
+        counts = self.table.delta_file_counts()
+        if counts and max(counts.values()) >= self.compact_every:
+            self.table.compact(min_deltas=self.compact_every)
 
     # ------------------------------------------------------------------
     def run_stream(
@@ -378,12 +504,17 @@ class CdcPipeline:
         stream = reader.text(os.path.join(self.staging_path, "_epochs"))
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
-            eps = sorted(int(r["value"]) for r in batch_df.collect() if r["value"].strip())
-            for e in eps:
+            eps = sorted(
+                (int(r["value"].split()[0]), "ddl" in r["value"])
+                for r in batch_df.collect()
+                if r["value"].strip()
+            )
+            for e, has_ddl in eps:
                 df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
                     os.path.join(self.staging_path, f"epoch={e}")
                 )
-                self.apply_epoch(df, e)
+                self.apply_epoch(df, e, has_ddl=has_ddl)
+            self.flush_lineage()
 
         writer = (
             stream.writeStream.foreachBatch(handle)

@@ -1,0 +1,70 @@
+"""File sources + generic changelog adapter (reference file-connector
+family analog) feeding the real pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from tapdata_connectors_spark.sources.file_source import (
+    ChangelogMapping,
+    changelog_to_events,
+    load_table,
+)
+from tapdata_connectors_spark.sources.generator import stage_events
+from tapdata_connectors_spark.streaming.driver import CdcPipeline
+from tests.helpers import assert_state_equal, oracle_replay
+
+CSV_SCHEMA = T.StructType([
+    T.StructField("page", T.StringType()),
+    T.StructField("pos", T.LongType()),
+    T.StructField("action", T.StringType()),
+    T.StructField("at", T.TimestampType()),
+    T.StructField("body", T.StringType()),
+])
+
+ROWS = [
+    ("u1", 1, "insert", "2024-01-01 00:00:01", "<p>a</p>"),
+    ("u2", 2, "insert", "2024-01-01 00:00:02", "<p>b</p>"),
+    ("u1", 3, "update", "2024-01-01 00:00:03", "<p>a2</p>"),
+    ("u2", 4, "delete", "2024-01-01 00:00:04", None),
+    ("u3", 5, "insert", "2024-01-01 00:00:05", "<p>c &amp; d</p>"),
+]
+
+
+def test_csv_changelog_roundtrip(spark, tmpdir_):
+    df = spark.createDataFrame(
+        [(p, n, a, t, b) for p, n, a, t, b in ROWS],
+        "page string, pos long, action string, at string, body string",
+    )
+    df.write.option("header", True).csv(f"{tmpdir_}/csv")
+
+    loaded = load_table(
+        spark, f"{tmpdir_}/csv", fmt="csv", schema=CSV_SCHEMA,
+        options={"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss"},
+    )
+    ev = changelog_to_events(
+        loaded.withColumn("body_bin", loaded["body"].cast("binary")),
+        ChangelogMapping(key="page", seq="pos", op="action", ts="at",
+                         html="body_bin", epoch_size=3),
+    )
+    assert ev.count() == 5
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging", n_buckets=2)
+    pipe.replay_batch()
+    state = {r["url"]: r["text"] for r in pipe.table.read().collect()}
+    assert state == {"u1": "a2", "u3": "c & d"}  # u2 deleted; text extracted
+    assert_state_equal(pipe.table.read(), oracle_replay(ev.collect()))
+
+
+def test_load_table_requires_schema_for_csv(spark, tmpdir_):
+    with pytest.raises(ValueError):
+        load_table(spark, f"{tmpdir_}/nope", fmt="csv")
+    with pytest.raises(ValueError):
+        load_table(spark, f"{tmpdir_}/nope", fmt="xml")
+
+
+def test_kafka_stub_fails_cleanly(spark):
+    from tapdata_connectors_spark.sources.file_source import kafka_changelog_stream
+    with pytest.raises(RuntimeError, match="kafka"):
+        kafka_changelog_stream(spark, "localhost:9092", "t")

@@ -78,3 +78,19 @@ def test_mor_resume_idempotent(spark, tmpdir_):
     assert all(r.get("skipped") for r in res)
     assert p2.table.current_version() == v
     assert_state_equal(p2.table.read(), oracle_replay(ev.collect()))
+
+
+def test_mor_parallel_epoch_replay(spark, tmpdir_):
+    """Concurrent epoch application (driver threads) must converge to the
+    same state as sequential replay — delta resolution is order-based."""
+    cfg = GeneratorConfig(n_events=2000, n_urls=200, epoch_size=250,
+                          p_update=0.4, p_delete=0.15, p_dup=0.05, p_hot=0.4)
+    ev = generate_events(spark, cfg)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=4, merge_mode="mor", compact_every=3)
+    pipe.replay_batch(max_concurrent_epochs=4)
+    assert_state_equal(pipe.table.read(), oracle_replay(ev.collect()))
+    # and it interoperates with compaction afterwards
+    pipe.table.compact()
+    assert_state_equal(pipe.table.read(), oracle_replay(ev.collect()))
