@@ -64,7 +64,7 @@ pipe = CdcPipeline(spark, table, staging, n_buckets=64,
                    merge_mode="mor", compact_every=8)
 t0 = time.time()
 pipe.replay_batch(max_concurrent_epochs=4)
-pipe.table.compact()
+pipe.table.compact(concurrency=4)
 dt = time.time() - t0
 print("RESULT " + json.dumps({{"sec": dt}}))
 spark.stop()
@@ -149,7 +149,7 @@ def main() -> None:
                        merge_mode="mor", compact_every=8)
     t0 = time.time()
     pipe.replay_batch(max_concurrent_epochs=4)
-    pipe.table.compact()
+    pipe.table.compact(concurrency=4)
     replay_sec = time.time() - t0
     final_rows = pipe.table.read().count()
     shutil.rmtree(table, ignore_errors=True)

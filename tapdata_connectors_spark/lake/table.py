@@ -241,6 +241,20 @@ class LakeTable:
         f.type = new_type
         self._commit_ddl(m, {"op": "widen_column", "column": name, "type": new_type}, epoch_key)
 
+    def drop_column(self, name: str, epoch_key: str | None = None) -> None:
+        """TapDropFieldEvent analog (MysqlDropColumnDDLWrapper.java) →
+        metadata-only drop; data files keep the bytes, reads ignore them
+        (re-adding the name later mints a fresh field id, so old values can
+        never resurface)."""
+        m = self.manifest()
+        if epoch_key is not None and epoch_key in m.applied_epochs:
+            return
+        f = self._field(m, name)
+        if f.name == m.key:
+            raise ValueError("cannot drop the merge key")
+        m.fields = [x for x in m.fields if x.id != f.id]
+        self._commit_ddl(m, {"op": "drop_column", "column": name}, epoch_key)
+
     def _commit_ddl(self, m: Manifest, summary: dict, epoch_key: str | None) -> None:
         with self._lock:
             if epoch_key is not None:
@@ -408,31 +422,67 @@ class LakeTable:
                 counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
         return counts
 
-    def compact(self, buckets: list[int] | None = None, min_deltas: int = 1) -> dict:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_deltas: int = 1,
+        expire_tombstones: bool = False,
+        concurrency: int = 1,
+    ) -> dict:
         """Rewrite buckets with pending deltas to plain base files (the MOR
-        compactor — Hudi-compaction analog). Returns {buckets, version}."""
+        compactor — Hudi-compaction analog). Returns {buckets, version}.
+
+        expire_tombstones drops tombstone rows from the rewritten buckets —
+        safe once no redelivery can predate them (operator-supplied
+        watermark decision; the reference's exactlyOnceId cache has the
+        same retention tradeoff).
+
+        concurrency > 1 compacts bucket groups as CONCURRENT Spark jobs
+        (driver threads): each group's resolve+write is an independent
+        pipeline over disjoint buckets, so overlapping them hides scheduler
+        and write latencies — same technique as parallel epoch replay."""
         counts = self.delta_file_counts()
+        explicit = buckets is not None
         if buckets is None:
             buckets = [b for b, n in counts.items() if n >= min_deltas]
-        buckets = [b for b in buckets if counts.get(b)]
+        if not (explicit and expire_tombstones):
+            # normally only delta-bearing buckets need rewriting; an
+            # explicit expiry request rewrites the named buckets regardless
+            buckets = [b for b in buckets if counts.get(b)]
+        have = {f["bucket"] for f in self.manifest().files}
+        buckets = sorted(b for b in set(buckets) if b in have)
         if not buckets:
             return {"buckets": [], "version": self.current_version()}
-        bset = set(buckets)
-        consumed = {
-            f["path"] for f in self.manifest().files if f["bucket"] in bset
-        }
-        resolved = self.read_raw(buckets=buckets).withColumn(
-            "_mb", self.bucket_expr()
-        )
-        entries = self.write_data_files(resolved, "_mb")
-        # replace exactly the files that were resolved: a delta appended
-        # concurrently (parallel epoch application) survives the commit
-        v = self.commit_files(
-            entries,
-            replaced_paths=consumed,
-            summary={"op": "compact", "buckets": len(buckets)},
-        )
-        return {"buckets": buckets, "version": v}
+
+        def one_group(grp: list[int]) -> None:
+            gset = set(grp)
+            consumed = {
+                f["path"] for f in self.manifest().files if f["bucket"] in gset
+            }
+            resolved = self.read_raw(buckets=grp).withColumn(
+                "_mb", self.bucket_expr()
+            )
+            if expire_tombstones:
+                resolved = resolved.filter(~F.col(TOMBSTONE_COL))
+            entries = self.write_data_files(resolved, "_mb")
+            # replace exactly the files that were resolved: a delta appended
+            # concurrently (parallel epoch application) survives the commit
+            self.commit_files(
+                entries,
+                replaced_paths=consumed,
+                summary={"op": "compact", "buckets": len(grp)},
+            )
+
+        if concurrency <= 1 or len(buckets) == 1:
+            one_group(buckets)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_groups = min(concurrency * 2, len(buckets))
+            groups = [buckets[i::n_groups] for i in range(n_groups)]
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                list(ex.map(one_group, [g for g in groups if g]))
+        return {"buckets": buckets, "version": self.current_version()}
 
     def read(self, version: int | None = None) -> DataFrame:
         """User-visible snapshot: tombstones filtered, hidden columns dropped."""

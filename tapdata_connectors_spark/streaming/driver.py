@@ -197,6 +197,8 @@ class CdcPipeline:
             self.table.rename_column(ddl["column"], ddl["new_name"], epoch_key=epoch_key)
         elif kind == "TYPE_WIDEN":
             self.table.widen_column(ddl["column"], ddl["new_type"], epoch_key=epoch_key)
+        elif kind == "DROP_COLUMN":
+            self.table.drop_column(ddl["column"], epoch_key=epoch_key)
         else:
             # TapDDLUnknownEvent analog (MysqlReader.java:722-731): surface it
             raise ValueError(f"unknown DDL kind: {kind}")

@@ -86,6 +86,10 @@ class OracleReplayer:
         elif kind == "TYPE_WIDEN":
             i = names.index(column)
             self.columns[i] = (column, new_type)
+        elif kind == "DROP_COLUMN":
+            self.columns = [c for c in self.columns if c[0] != column]
+            for row in self.state.values():
+                row.pop(column, None)
         else:
             raise ValueError(kind)
 

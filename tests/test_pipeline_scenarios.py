@@ -177,3 +177,29 @@ def test_policy_ignore_on_exists(spark, tmpdir_):
     pipe.replay_batch()
     oracle = oracle_replay(ev.collect(), insert_policy="ignore_on_exists")
     assert_state_equal(pipe.table.read(), oracle)
+
+
+def test_ddl_drop_column(spark, tmpdir_):
+    # add a column, use it, then drop it mid-stream (TapDropFieldEvent)
+    cfg = GeneratorConfig(
+        n_events=900, n_urls=90, epoch_size=300,
+        ddl=(
+            DdlSpec(seq=200, kind="ADD_COLUMN", column="views", new_type="int"),
+            DdlSpec(seq=600, kind="DROP_COLUMN", column="views"),
+        ),
+        extras_cols=(("views", 200, "int"),),
+    )
+    pipe, _ = run(spark, tmpdir_, cfg)
+    assert "views" not in pipe.table.read().columns
+
+
+def test_tombstone_expiry(spark, tmpdir_):
+    cfg = GeneratorConfig(n_events=600, n_urls=60, epoch_size=300, p_delete=0.3)
+    pipe, ev = run(spark, tmpdir_, cfg)
+    raw = pipe.table.read_raw()
+    n_tombs = raw.filter("_deleted").count()
+    assert n_tombs > 0
+    before = pipe.table.read().count()
+    pipe.table.compact(buckets=list(range(4)), expire_tombstones=True)
+    assert pipe.table.read_raw().filter("_deleted").count() == 0
+    assert pipe.table.read().count() == before  # visible state unchanged
