@@ -6,10 +6,10 @@ shape is ClickHouse ReplacingMergeTree + OPTIMIZE FINAL —
 ClickhouseConnector.java:273,347). Write cost per micro-batch is O(batch);
 this operator pays the deferred merge at read/compaction time.
 
-Physical form: ONE hash aggregate — no window, no sort. The generic
-sequential resolver (operators/resolve.py) needs prefix windows because
-non-default policies make effectiveness position-dependent; under the
-DEFAULT policy (the only one MOR mode admits) the algebra collapses:
+Physical form: ONE aggregation. The generic sequential resolver
+(operators/resolve.py) needs prefix windows because non-default policies
+make effectiveness position-dependent; under the DEFAULT policy (the only
+one MOR mode admits) the algebra collapses:
 
 - let make = max order of live resets (base row / insert delta),
   kill = max order of tombstones/deletes; the row is dead iff
@@ -23,10 +23,15 @@ DEFAULT policy (the only one MOR mode admits) the algebra collapses:
 - keys with only floating updates (update-on-missing, dropped by policy)
   have neither make nor kill and emit no row.
 
-Sort-free matters doubly at scale: hash aggregation keeps map-side partial
-combine (hot-key friendly) and avoids sorting multi-KB html/text payload
-rows — the memory-bandwidth hog that made windowed compaction degrade at
-high parallelism.
+Physical honesty (measured on Spark 4.1): max_by with variable-width
+values (binary/string) compiles to SortAggregate, not HashAggregate —
+partial aggregation still collapses duplicates map-side (hot-key
+friendly), but partitions sort their rows. The identified next
+optimization is a two-phase split: hash-aggregate the per-column WINNER
+SEQUENCES (all-primitive buffers → true HashAggregate over a
+column-pruned scan that never reads html), then fetch winning payloads
+with shuffled-hash join-backs — payload bytes then move exactly once,
+unsorted. Tracked for round 2.
 """
 
 from __future__ import annotations
