@@ -103,8 +103,11 @@ def event_col_exprs(c: ColumnSpec) -> tuple[F.Column, F.Column]:
     return is_set, val
 
 
-def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
-    """Fold DML events (op ∈ I/U/D) to one row per key. One shuffle."""
+def lww_fold_singleagg(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
+    """Single-aggregation fold (reference implementation). Exact, but
+    Spark plans varlen max_by buffers as SortAggregate — partitions sort
+    full payload rows. `lww_fold` (two-phase) is the production path;
+    this stays as the semantic reference and A/B fallback."""
     ev = events.withColumn(ORD, _ord_col())
 
     aggs: list[F.Column] = [
@@ -177,3 +180,135 @@ def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> 
         sel.append(F.when(live, p["v"]).otherwise(F.lit(None).cast(type_of(c.type))).alias(c.name))
         sel.append(live.alias(f"__set_{c.name}"))
     return g.select(*sel)
+
+
+_FIXED_WIDTH = {"int", "bigint", "smallint", "float", "double", "boolean",
+                "timestamp", "date"}
+
+
+def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
+    """Two-phase fold: hash-aggregated winners + sort-free payload fetch.
+
+    Phase A aggregates ONLY fixed-width expressions (winner sequence per
+    column, final/delete/insert sequences, op code, counters) — every
+    buffer is primitive, so Spark plans a true HashAggregate: map-side
+    partial combine, no partition sort, and variable-width payload bytes
+    never enter an aggregation buffer.
+
+    Phase B fetches each variable-width column's winning value by joining
+    the events back on (key, seq == winning seq) — an equi-join on a
+    composite key that is unique per side (skew-free even for Zipf-hot
+    keys) and hash-joinable (no sort). Payload bytes move through the
+    shuffle exactly once.
+
+    Ordering note: phase A orders by `event_seq` alone. The staging
+    contract (sources/generator.py) requires `warc_ts` non-decreasing in
+    `event_seq` — the version timestamp follows log position, as in a
+    binlog — which makes seq-order identical to the north rule's
+    lexicographic (warc_ts, event_seq) order (seq is unique).
+
+    Output schema and semantics are identical to `lww_fold_singleagg`
+    (the test suite asserts both against the sequential oracle).
+    """
+    op_code = (
+        F.when(F.col("op") == "I", F.lit(1))
+        .when(F.col("op") == "U", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+    heavy = [c for c in payload if c.type.lower() not in _FIXED_WIDTH]
+    light = [c for c in payload if c.type.lower() in _FIXED_WIDTH]
+
+    aggs: list[F.Column] = [
+        F.max("event_seq").alias("_final_seq"),
+        F.min("event_seq").alias("_min_seq"),
+        # exact, per key: duplicate deliveries share event_seq. The distinct
+        # agg expands skinny (key, seq) rows only — hash all the way — and
+        # tells phase B which keys the value joins may have multiplied.
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("event_seq"))
+        ).alias("_n_dupes_approx"),
+        F.max_by(F.col("warc_ts"), F.col("event_seq")).alias("_final_ts"),
+        F.max_by(op_code, F.col("event_seq")).alias("_last_op_code"),
+        F.max(F.when(F.col("op") == "D", F.col("event_seq"))).alias("_del_seq"),
+        F.max(F.when(F.col("op") == "D", F.col("warc_ts"))).alias("_del_ts"),
+        F.max(F.when(F.col("op") == "I", F.col("event_seq"))).alias("_ins_seq"),
+        F.count(F.lit(1)).alias("_n_events"),
+        F.sum((F.col("op") == "I").cast("long")).alias("_n_i"),
+        F.sum((F.col("op") == "U").cast("long")).alias("_n_u"),
+        F.sum((F.col("op") == "D").cast("long")).alias("_n_d"),
+    ]
+    for c in payload:
+        is_set, val = event_col_exprs(c)
+        aggs.append(F.max(F.when(is_set, F.col("event_seq"))).alias(f"_w_{c.name}"))
+        if c in light:
+            aggs.append(
+                F.max_by(val, F.when(is_set, F.col("event_seq"))).alias(f"_v_{c.name}")
+            )
+    winners = events.groupBy(key).agg(*aggs)
+
+    live = {}
+    for c in payload:
+        w = F.col(f"_w_{c.name}")
+        live[c.name] = w.isNotNull() & (
+            F.col("_del_seq").isNull() | (w >= F.col("_del_seq"))
+        )
+
+    # phase B: one left join per variable-width column, matching exactly
+    # the winning event row (identical duplicate deliveries may multiply
+    # rows; a final per-key dropDuplicates collapses the identical copies)
+    out = winners
+    for c in heavy:
+        is_set, val = event_col_exprs(c)
+        vals = events.filter(is_set).select(
+            F.col(key).alias(f"_k_{c.name}"),
+            F.col("event_seq").alias(f"_s_{c.name}"),
+            val.alias(f"_v_{c.name}"),
+        )
+        out = out.join(
+            vals.hint("shuffle_hash"),
+            (F.col(key) == F.col(f"_k_{c.name}"))
+            & (F.col(f"_s_{c.name}") == F.when(live[c.name], F.col(f"_w_{c.name}"))),
+            "left",
+        ).drop(f"_k_{c.name}", f"_s_{c.name}")
+
+    sel: list[F.Column] = [
+        F.col(key),
+        F.col("_final_seq"),
+        F.col("_min_seq"),
+        F.col("_n_dupes_approx"),
+        F.col("_final_ts"),
+        F.when(F.col("_last_op_code") == 3, F.lit("D"))
+        .when(
+            F.col("_ins_seq").isNotNull()
+            & (F.col("_del_seq").isNull() | (F.col("_ins_seq") >= F.col("_del_seq"))),
+            F.lit("I"),
+        )
+        .when(F.col("_del_seq").isNotNull(), F.lit("DU"))
+        .otherwise(F.lit("U"))
+        .alias("_final_op"),
+        F.col("_del_seq"),
+        F.col("_del_ts"),
+        F.col("_n_events"),
+        F.col("_n_i"),
+        F.col("_n_u"),
+        F.col("_n_d"),
+    ]
+    for c in payload:
+        ty = type_of(c.type)
+        sel.append(
+            F.when(live[c.name], F.col(f"_v_{c.name}"))
+            .otherwise(F.lit(None).cast(ty))
+            .alias(c.name)
+        )
+        sel.append(live[c.name].alias(f"__set_{c.name}"))
+    sel_with_dupflag = sel + [F.col("_n_dupes_approx").alias("__ndup")]
+    result = out.select(*sel_with_dupflag)
+    if heavy:
+        # value join-backs multiply rows only for keys that actually had
+        # duplicate deliveries (identical copies); dedupe just those keys
+        # so the full-width distinct never touches the clean majority
+        clean = result.filter(F.col("__ndup") == 0)
+        dupd = result.filter(F.col("__ndup") > 0).dropDuplicates([key])
+        result = clean.unionByName(dupd)
+    return result.drop("__ndup")

@@ -49,7 +49,7 @@ ORD = "_ord"
 __all__ = ["KIND", "ORD", "resolve_mor"]
 
 
-def resolve_mor(unified: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
+def resolve_mor_singleagg(unified: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
     kind = F.col(KIND)
     is_live_reset = kind.isin("B", "I")
     is_kill = kind.isin("T", "D")
@@ -90,3 +90,77 @@ def resolve_mor(unified: DataFrame, payload: list[ColumnSpec], key: str = "url")
         dead.alias(TOMBSTONE_COL),
     ]
     return g.select(*sel)
+
+
+_FIXED_WIDTH = {"int", "bigint", "smallint", "float", "double", "boolean",
+                "timestamp", "date"}
+
+
+def resolve_mor(unified: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
+    """Two-phase resolution: hash-aggregated winners + sort-free payload
+    fetch — the production form of the algebra above (see operators/
+    dedup.lww_fold for the pattern and the seq-ordering contract).
+
+    Phase A aggregates only fixed-width expressions over pruned columns
+    (variable-width payload bytes are never read, let alone sorted);
+    phase B fetches each variable-width column's winning value with a
+    shuffled-hash join on (key, winning seq). Input rows are unique per
+    (key, seq) — duplicate deliveries were collapsed by the fold before
+    the delta was written — so the joins cannot multiply rows.
+    """
+    kind = F.col(KIND)
+    is_live_reset = kind.isin("B", "I")
+    is_kill = kind.isin("T", "D")
+    seq = F.col(ORD)["seq"]
+    ts = F.col(ORD)["ts"]
+
+    heavy = [c for c in payload if c.type.lower() not in _FIXED_WIDTH]
+    light = [c for c in payload if c.type.lower() in _FIXED_WIDTH]
+
+    aggs = [
+        F.max(F.when(is_live_reset, seq)).alias("_make"),
+        F.max(F.when(is_kill, seq)).alias("_kill"),
+        F.max(F.when(is_kill, ts)).alias("_kill_ts"),
+        F.max(seq).alias("_last"),
+    ]
+    for c in payload:
+        aggs.append(F.max(F.when(F.col(f"__set_{c.name}"), seq)).alias(f"_w_{c.name}"))
+        if c in light:
+            ty = type_of(c.type)
+            aggs.append(
+                F.max_by(F.col(c.name).cast(ty), F.when(F.col(f"__set_{c.name}"), seq))
+                .alias(f"_v_{c.name}")
+            )
+    g = unified.groupBy(key).agg(*aggs)
+
+    make, kill = F.col("_make"), F.col("_kill")
+    dead = kill.isNotNull() & (make.isNull() | (kill > make))
+    g = g.filter(make.isNotNull() | kill.isNotNull())
+
+    out = g
+    for c in heavy:
+        ty = type_of(c.type)
+        vals = unified.filter(F.col(f"__set_{c.name}")).select(
+            F.col(key).alias(f"_k_{c.name}"),
+            F.col(ORD)["seq"].alias(f"_s_{c.name}"),
+            F.col(c.name).cast(ty).alias(f"_v_{c.name}"),
+        )
+        out = out.join(
+            vals.hint("shuffle_hash"),
+            (F.col(key) == F.col(f"_k_{c.name}"))
+            & (F.col(f"_s_{c.name}") == F.when(~dead, F.col(f"_w_{c.name}"))),
+            "left",
+        ).drop(f"_k_{c.name}", f"_s_{c.name}")
+
+    sel = [F.col(key)]
+    for c in payload:
+        ty = type_of(c.type)
+        val = F.when(~dead & F.col(f"_w_{c.name}").isNotNull(), F.col(f"_v_{c.name}"))               .otherwise(F.lit(None).cast(ty))
+        if c.name == "warc_ts":
+            val = F.when(dead, F.col("_kill_ts")).otherwise(val)
+        sel.append(val.alias(c.name))
+    sel += [
+        F.when(dead, F.col("_kill")).otherwise(F.col("_last")).alias(SEQ_COL),
+        dead.alias(TOMBSTONE_COL),
+    ]
+    return out.select(*sel)

@@ -87,13 +87,18 @@ class CdcPipeline:
     # ------------------------------------------------------------------
     def init_table(self) -> LakeTable:
         if not self.table.exists():
-            self.table = LakeTable.create(
-                self.spark,
-                self.table_path,
-                fields=[(n, t.simpleString()) for n, t, _ in PAGES_FIELDS],
-                key="url",
-                n_buckets=self.n_buckets,
-            )
+            try:
+                self.table = LakeTable.create(
+                    self.spark,
+                    self.table_path,
+                    fields=[(n, t.simpleString()) for n, t, _ in PAGES_FIELDS],
+                    key="url",
+                    n_buckets=self.n_buckets,
+                )
+            except FileExistsError:
+                # lost a create race with a concurrent epoch thread — the
+                # table now exists, which is all this method guarantees
+                pass
         return self.table
 
     def payload_specs(self) -> list[ColumnSpec]:
