@@ -88,14 +88,16 @@ def append_delta(
         delta, "_mb", kind="delta", columns=cols_map, types=types_map
     )
     # per-file row counts from parquet footers: driver-side metadata reads
-    # (pyarrow), no Spark job — feeds per-partition lineage
+    # (pyarrow), no Spark job — feeds per-partition lineage. Local-FS
+    # optimization only: on remote lakes (hdfs://, s3a://) the footers are
+    # skipped and lineage reports global counts from observe() instead.
     try:
-        import os as _os
-
         import pyarrow.parquet as _pq
 
         for e in entries:
-            e["rows"] = _pq.read_metadata(_os.path.join(table.path, e["path"])).num_rows
+            lp = table._io.local_path(table._io.join(e["path"]))
+            if lp is not None:
+                e["rows"] = _pq.read_metadata(lp).num_rows
     except Exception:
         pass
     version = table.commit_files(

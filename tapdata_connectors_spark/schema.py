@@ -63,10 +63,15 @@ IMAGE_PAYLOAD_COLS = ["warc_ts", "html", "lang"]
 # ---------------------------------------------------------------------------
 DDL_SCHEMA = T.StructType(
     [
-        T.StructField("kind", T.StringType(), True),  # ADD_COLUMN|RENAME_COLUMN|TYPE_WIDEN
+        T.StructField("kind", T.StringType(), True),  # ADD_COLUMN|RENAME_COLUMN|TYPE_WIDEN|DROP_COLUMN
         T.StructField("column", T.StringType(), True),
         T.StructField("new_name", T.StringType(), True),
         T.StructField("new_type", T.StringType(), True),  # spark simpleString, e.g. 'bigint'
+        # ADD COLUMN attribute specs (MysqlAddColumnDDLWrapper.java:35-98
+        # parses DEFAULT / NOT NULL / COMMENT into TapField):
+        T.StructField("new_default", T.StringType(), True),  # string repr, cast by type
+        T.StructField("not_null", T.BooleanType(), True),
+        T.StructField("comment", T.StringType(), True),
     ]
 )
 
@@ -127,3 +132,8 @@ LINEAGE_SCHEMA = T.StructType(
 SEQ_COL = "_event_seq"
 TOMBSTONE_COL = "_deleted"
 HIDDEN_COLS = [SEQ_COL, TOMBSTONE_COL]
+
+# The LWW ordering column: merges, MOR resolution and the cross-batch stale
+# guard all order on (ORDERING_COL, event_seq). It is engine-critical — DDL
+# may not rename or drop it (lake/table.py guards), like the merge key.
+ORDERING_COL = "warc_ts"

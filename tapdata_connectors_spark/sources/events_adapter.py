@@ -23,10 +23,22 @@ _OP = (
 )
 
 
-def events_table_to_cdc(events: DataFrame, epoch_size: int = 500) -> DataFrame:
+def events_table_to_cdc(
+    events: DataFrame, epoch_size: int = 500, validate_order: bool = True
+) -> DataFrame:
     """Map the driver's events table (event_id, ts, user_id, event_type,
     value, props) to EVENTS_SCHEMA: user_id becomes the page url, props
-    becomes a synthetic html payload."""
+    becomes a synthetic html payload.
+
+    `validate_order=True` fails loudly if `ts` is not non-decreasing in
+    `event_id` — the staging contract the two-phase fold depends on
+    (operators/ordering.py)."""
+    if validate_order:
+        from tapdata_connectors_spark.operators.ordering import (
+            require_seq_ts_order,
+        )
+
+        require_seq_ts_order(events, seq_col="event_id", ts_col="ts")
     url = F.concat(F.lit("https://user.example.org/u/"), F.col("user_id").cast("string"))
     html = F.encode(
         F.concat(

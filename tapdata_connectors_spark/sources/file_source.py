@@ -65,9 +65,25 @@ class ChangelogMapping:
     epoch_size: int = 100_000
 
 
-def changelog_to_events(df: DataFrame, m: ChangelogMapping) -> DataFrame:
+def changelog_to_events(
+    df: DataFrame, m: ChangelogMapping, validate_order: bool = True
+) -> DataFrame:
     """Map a generic changelog DataFrame into EVENTS_SCHEMA, ready for
-    CdcPipeline staging. Pure JVM expressions."""
+    CdcPipeline staging. Pure JVM expressions.
+
+    `validate_order=True` (default) enforces the staging contract — the
+    version timestamp must be non-decreasing in the position column — by
+    failing loudly at conversion time (operators/ordering.py). The
+    two-phase fold and MOR resolver depend on it; a violating source must
+    either fix its mapping or run with `CdcPipeline(seq_is_lww_order=False)`
+    and `validate_order=False`.
+    """
+    if validate_order:
+        from tapdata_connectors_spark.operators.ordering import (
+            require_seq_ts_order,
+        )
+
+        require_seq_ts_order(df, seq_col=m.seq, ts_col=m.ts)
     op = F.col(m.op).cast("string")
     for raw, code in m.op_values.items():
         op = F.when(F.col(m.op) == raw, F.lit(code)).otherwise(op)
@@ -121,7 +137,17 @@ def kafka_changelog_stream(
             "classpath (spark-submit --packages org.apache.spark:"
             "spark-sql-kafka-0-10_2.13:<spark-version>)"
         ) from e
-    parsed = stream.select(
+    return parse_kafka_events(stream)
+
+
+def parse_kafka_events(df: DataFrame) -> DataFrame:
+    """Kafka record `value` (JSON bytes) → EVENTS_SCHEMA rows — the message
+    decode step of the reference's Kafka consumer (kafka-enhanced
+    KafkaConsumerService.java:175-178 deserializes each record into a
+    TapEvent). Separated from the stream wiring so the mapping is testable
+    without the connector jar; malformed JSON yields all-null rows
+    (PERMISSIVE mode), which downstream null-PK handling skips-and-counts.
+    """
+    return df.select(
         F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
     ).select("e.*")
-    return parsed

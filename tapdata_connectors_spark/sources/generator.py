@@ -55,10 +55,14 @@ class DdlSpec:
     """A DDL event injected at a fixed global sequence number."""
 
     seq: int
-    kind: str  # ADD_COLUMN | RENAME_COLUMN | TYPE_WIDEN
+    kind: str  # ADD_COLUMN | RENAME_COLUMN | TYPE_WIDEN | DROP_COLUMN
     column: str
     new_name: str | None = None
     new_type: str | None = None
+    # ADD COLUMN attribute specs (MysqlAddColumnDDLWrapper.java:35-98)
+    new_default: str | None = None
+    not_null: bool | None = None
+    comment: str | None = None
 
 
 @dataclass(frozen=True)
@@ -72,6 +76,14 @@ class GeneratorConfig:
     p_delete: float = 0.10  # rest are inserts
     p_dup: float = 0.0  # exact duplicate deliveries
     p_removed_lang: float = 0.05  # U events nulling `lang` explicitly
+    # key-changing updates: before carries the old PK, the event targets a
+    # fresh "moved" url (TapUpdateRecordEvent{before,after} with PK change —
+    # MysqlReader.java:633-686; applied as delete+insert per hudi
+    # ClientPerformer.java:107-132)
+    p_key_change: float = 0.0
+    # events with NO derivable PK (url null everywhere): the engine must
+    # skip-and-count them (NormalWriteRecorder.java:210-226)
+    p_null_pk: float = 0.0
     start_seq: int = 0
     ddl: tuple[DdlSpec, ...] = ()
     # extras columns: (name, first_seq, sql_type) — values appear in the
@@ -106,10 +118,14 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
     )
 
     # duplicate deliveries: a dup row re-emits its predecessor byte-for-byte,
-    # so every column below derives from `eseq`, not `raw_seq`.
-    is_dup = (_u(1, s, F.col("raw_seq")) < F.lit(cfg.p_dup)) & (
-        F.col("raw_seq") > F.lit(cfg.start_seq)
-    )
+    # so every column below derives from `eseq`, not `raw_seq`. A dup whose
+    # predecessor was ITSELF a dup would re-emit an event that was never
+    # delivered under its own seq (realized p_dup drifts) — mask consecutive
+    # dups so every duplicate copies a genuinely delivered event.
+    def _dup_at(col):
+        return (_u(1, s, col) < F.lit(cfg.p_dup)) & (col > F.lit(cfg.start_seq))
+
+    is_dup = _dup_at(F.col("raw_seq")) & ~_dup_at(F.col("raw_seq") - 1)
     df = df.withColumn("event_seq", F.when(is_dup, F.col("raw_seq") - 1).otherwise(F.col("raw_seq")))
     eseq = F.col("event_seq")
 
@@ -130,6 +146,25 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
         .otherwise(F.lit("I"))
     )
     df = df.withColumn("op", op)
+
+    # ---- key-change updates & null-PK events ----
+    is_pkc = (F.col("op") == "U") & (_u(14, s, eseq) < F.lit(cfg.p_key_change))
+    is_nullpk = (_u(15, s, eseq) < F.lit(cfg.p_null_pk)) & ~is_pkc
+    before = F.when(
+        is_pkc,
+        F.struct(
+            F.col("url").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("lang"),
+        ),
+    ).cast(EVENTS_SCHEMA["before"].dataType)
+    df = df.withColumn("_before", before).withColumn(
+        "url",
+        F.when(is_nullpk, F.lit(None).cast("string"))
+        .when(is_pkc, F.concat(F.col("url"), F.lit("?mv="), eseq.cast("string")))
+        .otherwise(F.col("url")),
+    )
 
     # ---- version timestamp: globally monotone in event_seq ----
     df = df.withColumn(
@@ -208,7 +243,7 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
 
     df = (
         df.withColumn("epoch", (eseq / F.lit(cfg.epoch_size)).cast("int"))
-        .withColumn("before", F.lit(None).cast(EVENTS_SCHEMA["before"].dataType))
+        .withColumn("before", F.col("_before"))
         .withColumn("after", after)
         .withColumn("removed_fields", removed)
         .withColumn("extras", extras)
@@ -234,7 +269,8 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
                 int(d.seq // cfg.epoch_size),
                 "DDL",
                 None, None, None, None, None, None,
-                (d.kind, d.column, d.new_name, d.new_type),
+                (d.kind, d.column, d.new_name, d.new_type,
+                 d.new_default, d.not_null, d.comment),
                 f"ddl_{d.seq}",
                 1_700_000_000_000 + d.seq * 250,
             )
@@ -269,6 +305,12 @@ def stage_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         r["epoch"]
         for r in df.filter(_F.col("op") == "DDL").select("epoch").distinct().collect()
     }
+    _write_epoch_markers(path, ddl_epochs)
+
+
+def _write_epoch_markers(path: str, ddl_epochs: set[int]) -> None:
+    import os as _os
+
     mdir = _os.path.join(path, "_epochs")
     _os.makedirs(mdir, exist_ok=True)
     epochs = sorted(
@@ -283,3 +325,29 @@ def stage_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
                 f.write(f"{k} ddl" if k in ddl_epochs else str(k))
             _os.replace(tmp, mpath)
         _os.utime(mpath, (base + k, base + k))
+
+
+def stage_events_multi(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Multi-table staging: `df` = EVENTS_SCHEMA plus a `table_id` column.
+    One partitioned write fans the log out to per-table staging areas
+    (`<path>/table_id=X/epoch=N/...`), each a normal single-table staging
+    directory with its own epoch markers — the analog of the reference
+    routing events per tableId before upload (TapEventCollector.java:170-202).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    df.write.partitionBy("table_id", "epoch").parquet(path, mode=mode)
+    ddl = {
+        (r["table_id"], r["epoch"])
+        for r in df.filter(_F.col("op") == "DDL")
+        .select("table_id", "epoch").distinct().collect()
+    }
+    for d in _os.listdir(path):
+        if not d.startswith("table_id="):
+            continue
+        tid = d.split("=", 1)[1]
+        _write_epoch_markers(
+            _os.path.join(path, d), {e for t, e in ddl if t == tid}
+        )

@@ -35,6 +35,7 @@ from tapdata_connectors_spark.functions.text_extract import extract_text_udf
 from tapdata_connectors_spark.lake.merge import merge_into
 from tapdata_connectors_spark.lake.table import LakeTable
 from tapdata_connectors_spark.operators.dedup import ColumnSpec, lww_fold
+from tapdata_connectors_spark.operators.events import normalize_events
 from tapdata_connectors_spark.plans.policies import DEFAULT_POLICY, WritePolicy
 from tapdata_connectors_spark.schema import (
     EVENTS_SCHEMA,
@@ -60,6 +61,7 @@ class CdcPipeline:
         n_buckets: int = 16,
         merge_mode: str = "cow",
         compact_every: int = 8,
+        seq_is_lww_order: bool = True,
     ):
         """merge_mode:
         'cow'  — copy-on-write MERGE per epoch (lake/merge.py): epoch cost ∝
@@ -68,11 +70,29 @@ class CdcPipeline:
                  batch; deferred merge resolved on read, compacted when a
                  bucket accumulates `compact_every` delta files. Default
                  policy only. This is the 10^10-event scale path.
+
+        seq_is_lww_order: the staging contract flag (operators/ordering.py)
+        — True (default) when `warc_ts` is non-decreasing in `event_seq`
+        (binlog-shaped sources; the generator guarantees it; external
+        adapters validate it). False switches fold + MOR resolution to the
+        exact (ts, seq)-ordered single-aggregation paths.
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError(merge_mode)
         if merge_mode == "mor" and policy != DEFAULT_POLICY:
             raise ValueError("merge_mode='mor' supports the default write policy only")
+        if merge_mode == "mor" and not seq_is_lww_order:
+            # MOR resolution is a global order-algebraic fold — with a
+            # non-monotone source, final state legitimately depends on
+            # arrival (epoch) boundaries (an applied update blocks an
+            # older-ts delete arriving later), which only the incremental
+            # per-epoch merge can reproduce. Refuse loudly rather than be
+            # silently wrong at read time.
+            raise ValueError(
+                "merge_mode='mor' requires the staging order contract "
+                "(seq_is_lww_order=True); use merge_mode='cow' for "
+                "non-monotone sources"
+            )
         self.spark = spark
         self.table_path = table_path
         self.staging_path = staging_path
@@ -81,8 +101,10 @@ class CdcPipeline:
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.seq_is_lww_order = seq_is_lww_order
         self.table = LakeTable(spark, table_path)
         self._lineage_rows: list[tuple] = []
+        self._start_epoch: int | None = None
 
     # ------------------------------------------------------------------
     def init_table(self) -> LakeTable:
@@ -125,15 +147,19 @@ class CdcPipeline:
         m = self.table.manifest()
         names = {f.name for f in m.fields}
         out = []
-        if "text" in names:
-            out.append(("text", self._current_name_of(3), lambda c: extract_text_udf(c)))
+        # html is field id 3 (PAGES_FIELDS order); the derived spec resolves
+        # it by id so a RENAME keeps working. If html was DROPped there is no
+        # source to extract from — text keeps its last stored values.
+        src = self._current_name_of(3)
+        if "text" in names and src is not None:
+            out.append(("text", src, lambda c: extract_text_udf(c)))
         return out
 
-    def _current_name_of(self, field_id: int) -> str:
+    def _current_name_of(self, field_id: int) -> str | None:
         for f in self.table.manifest().fields:
             if f.id == field_id:
                 return f.name
-        raise KeyError(field_id)
+        return None
 
     # ------------------------------------------------------------------
     def bootstrap_snapshot(self, pages: DataFrame, derive_text: bool = True) -> dict:
@@ -194,10 +220,26 @@ class CdcPipeline:
         )
         return metrics_all
 
+    def _bucket_or_null_sentinel(self) -> F.Column:
+        """Merge-bucket id, with null-PK rows diverted to sentinel bucket -2
+        (xxhash64(null) is the SEED, so nulls would otherwise silently land
+        in a real bucket and merge as a key)."""
+        return (
+            F.when(F.col("url").isNull(), F.lit(-2))
+            .otherwise(self.table.bucket_expr("url"))
+            .cast("int")
+        )
+
     def _apply_ddl(self, ddl, epoch_key: str) -> None:
-        kind = ddl["kind"]
+        d = ddl.asDict() if hasattr(ddl, "asDict") else dict(ddl)
+        kind = d["kind"]
         if kind == "ADD_COLUMN":
-            self.table.add_column(ddl["column"], ddl["new_type"], epoch_key=epoch_key)
+            self.table.add_column(
+                d["column"], d["new_type"], epoch_key=epoch_key,
+                default=d.get("new_default"),
+                not_null=bool(d.get("not_null")),
+                comment=d.get("comment"),
+            )
         elif kind == "RENAME_COLUMN":
             self.table.rename_column(ddl["column"], ddl["new_name"], epoch_key=epoch_key)
         elif kind == "TYPE_WIDEN":
@@ -218,6 +260,9 @@ class CdcPipeline:
             sl = sl.filter(F.col("event_seq") > lo)
         if hi is not None:
             sl = sl.filter(F.col("event_seq") < hi)
+        # PK resolution + update-of-PK split (delete old key / insert new):
+        # map-only, before any fold groups by key (operators/events.py)
+        sl = normalize_events(sl)
 
         epoch_key = f"{key_prefix}e{epoch}:s{slice_no}"
         if self.table.epoch_applied(epoch_key):
@@ -231,14 +276,27 @@ class CdcPipeline:
             # fold cannot see "alive at this point in the batch"
             return self._apply_slice_sequential(sl, epoch, slice_no, epoch_key, payload, t0)
 
+        if not self.seq_is_lww_order and self.merge_mode == "cow":
+            # non-monotone sources: a batch's events can STRADDLE the
+            # target's stored (ts, seq) order (some stale, some newer), and
+            # fold-then-guard is not sequential-equivalent there — e.g. a
+            # stale insert must be rejected individually while the batch's
+            # newer updates hit a missing row and drop. The sequential
+            # resolver replays raw events against the target row at its own
+            # order, which is exact for any interleaving.
+            return self._apply_slice_sequential(sl, epoch, slice_no, epoch_key, payload, t0)
+
         if self.merge_mode == "mor":
             # single-action fast path: stats ride along the delta write via
             # observe(); no persist, no separate aggregation job
             return self._apply_slice_mor(sl, epoch, slice_no, epoch_key, payload, t0)
 
         deduped = (
-            lww_fold(sl, payload, key="url")
-            .withColumn("_mb", self.table.bucket_expr("url"))
+            lww_fold(sl, payload, key="url", seq_is_lww_order=self.seq_is_lww_order)
+            # null-PK rows group under the sentinel bucket -2: counted in
+            # lineage (partition_id -2), never merged
+            # (NormalWriteRecorder.java:210-226 skips-and-warns)
+            .withColumn("_mb", self._bucket_or_null_sentinel())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # ONE aggregation job yields everything the driver needs before the
@@ -256,24 +314,35 @@ class CdcPipeline:
             F.sum((F.col("_final_op") == "I").cast("long")).alias("fo_i"),
             F.sum((F.col("_final_op") == "U").cast("long")).alias("fo_u"),
             F.sum((F.col("_final_op") == "D").cast("long")).alias("fo_d"),
+            F.sum(F.length(F.col("url"))).alias("key_bytes"),
         ).collect()
 
         if not per_bucket:
             deduped.unpersist()
             return {"skipped": True, "empty": True, "epoch_key": epoch_key}
-        touched = {r["_mb"] for r in per_bucket}
-        b_rows = sum(r["n_keys"] for r in per_bucket)
+        touched = {r["_mb"] for r in per_bucket if r["_mb"] >= 0}
+        b_rows = sum(r["n_keys"] for r in per_bucket if r["_mb"] >= 0)
         n_events = sum(r["n_events"] for r in per_bucket)
+
+        if not touched:  # every event in the slice had a null PK
+            deduped.unpersist()
+            wall_ms = int((time.time() - t0) * 1000)
+            self._write_lineage(epoch, slice_no, per_bucket, {}, wall_ms)
+            return {"skipped": True, "all_null_pk": True, "epoch_key": epoch_key,
+                    "n_events": n_events, "wall_ms": wall_ms}
 
         m = merge_into(
             self.table,
-            deduped,
+            deduped.filter(F.col("_mb") >= 0),
             payload,
             policy=self.policy,
             derived=self._derived_specs(),
             epoch_key=epoch_key,
             b_rows=b_rows,
             touched=touched,
+            b_key_bytes=sum(
+                r["key_bytes"] or 0 for r in per_bucket if r["_mb"] >= 0
+            ),
         )
         deduped.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
@@ -291,30 +360,43 @@ class CdcPipeline:
         from tapdata_connectors_spark.lake.delta import append_delta
 
         deduped = lww_fold(sl, payload, key="url").withColumn(
-            "_mb", self.table.bucket_expr("url")
+            "_mb", self._bucket_or_null_sentinel()
         )
         obs = Observation()
+        ok = F.col("url").isNotNull()  # null-PK keys are counted, never written
+
+        def _n(col):  # null-PK-excluded sum
+            return F.coalesce(F.sum(F.when(ok, F.col(col))), F.lit(0))
+
         observed = deduped.observe(
             obs,
-            F.count(F.lit(1)).alias("n_keys"),
-            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n_events"),
-            F.coalesce(F.sum("_n_i"), F.lit(0)).alias("n_i"),
-            F.coalesce(F.sum("_n_u"), F.lit(0)).alias("n_u"),
-            F.coalesce(F.sum("_n_d"), F.lit(0)).alias("n_d"),
-            F.coalesce(F.sum("_n_dupes_approx"), F.lit(0)).alias("n_dupes"),
-            F.min("_min_seq").alias("lo"),
-            F.max("_final_seq").alias("hi"),
-            F.coalesce(F.sum((F.col("_final_op") == "I").cast("long")), F.lit(0)).alias("fo_i"),
-            F.coalesce(F.sum((F.col("_final_op").isin("U", "DU")).cast("long")), F.lit(0)).alias("fo_u"),
-            F.coalesce(F.sum((F.col("_final_op") == "D").cast("long")), F.lit(0)).alias("fo_d"),
+            F.coalesce(F.sum(ok.cast("long")), F.lit(0)).alias("n_keys"),
+            _n("_n_events").alias("n_events"),
+            _n("_n_i").alias("n_i"),
+            _n("_n_u").alias("n_u"),
+            _n("_n_d").alias("n_d"),
+            _n("_n_dupes_approx").alias("n_dupes"),
+            F.min(F.when(ok, F.col("_min_seq"))).alias("lo"),
+            F.max(F.when(ok, F.col("_final_seq"))).alias("hi"),
+            F.coalesce(F.sum((ok & (F.col("_final_op") == "I")).cast("long")), F.lit(0)).alias("fo_i"),
+            # DU normalizes to a delete in append_delta — count it under fo_d
+            # so lineage matches what actually lands in the delta files
+            F.coalesce(F.sum((ok & (F.col("_final_op") == "U")).cast("long")), F.lit(0)).alias("fo_u"),
+            F.coalesce(F.sum((ok & F.col("_final_op").isin("D", "DU")).cast("long")), F.lit(0)).alias("fo_d"),
+            F.coalesce(F.sum(F.when(~ok, F.col("_n_events"))), F.lit(0)).alias("n_null_pk"),
         )
         m = append_delta(
-            self.table, observed, payload,
+            self.table, observed.filter(F.col("_mb") >= 0), payload,
             derived=self._derived_specs(), epoch_key=epoch_key,
         )
+        if m.get("skipped"):
+            # epoch guard fired inside append_delta: no Spark action ran, so
+            # obs.get would block forever — skip stats/lineage entirely
+            wall_ms = int((time.time() - t0) * 1000)
+            return {**m, "epoch_key": epoch_key, "n_events": 0, "wall_ms": wall_ms}
         stats = obs.get
         n_events = stats["n_events"]
-        if n_events:
+        if n_events or stats["n_null_pk"]:
             per_bucket = [
                 {
                     "_mb": e["bucket"], "n_keys": e.get("rows"), "n_events": None,
@@ -330,9 +412,17 @@ class CdcPipeline:
                 "n_i": stats["n_i"], "n_u": stats["n_u"], "n_d": stats["n_d"],
                 "n_dupes": stats["n_dupes"], "lo": stats["lo"], "hi": stats["hi"],
             }
+            rows = [global_row]
+            if stats["n_null_pk"]:
+                # partition -2 = null-PK events skipped-with-count
+                rows.append({
+                    "_mb": -2, "n_keys": 0, "n_events": stats["n_null_pk"],
+                    "n_i": None, "n_u": None, "n_d": None, "n_dupes": None,
+                    "lo": None, "hi": None,
+                })
             mm = {"by_bucket": {-1: {"insert": stats["fo_i"], "update": stats["fo_u"],
                                      "delete": stats["fo_d"]}}}
-            self._buffer_lineage(epoch, slice_no, [global_row] + per_bucket, mm, wall_ms)
+            self._buffer_lineage(epoch, slice_no, rows + per_bucket, mm, wall_ms)
         if not getattr(self, "_defer_compact", False):
             counts = self.table.delta_file_counts()
             if counts and max(counts.values()) >= self.compact_every:
@@ -344,7 +434,7 @@ class CdcPipeline:
         from tapdata_connectors_spark.lake.merge import merge_events_sequential
 
         per_bucket = (
-            sl.groupBy(self.table.bucket_expr("url").alias("_mb"))
+            sl.groupBy(self._bucket_or_null_sentinel().alias("_mb"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum((F.col("op") == "I").cast("long")).alias("n_i"),
@@ -354,16 +444,25 @@ class CdcPipeline:
                 F.min("event_seq").alias("lo"),
                 F.max("event_seq").alias("hi"),
                 F.lit(0).alias("n_keys"),
+                F.sum(F.length(F.col("url"))).alias("key_bytes"),
             )
             .collect()
         )
         if not per_bucket:
             return {"skipped": True, "empty": True, "epoch_key": epoch_key}
-        touched = {r["_mb"] for r in per_bucket}
+        touched = {r["_mb"] for r in per_bucket if r["_mb"] >= 0}
         n_events = sum(r["n_events"] for r in per_bucket)
+        if not touched:  # every event in the slice had a null PK
+            wall_ms = int((time.time() - t0) * 1000)
+            self._write_lineage(epoch, slice_no, per_bucket, {}, wall_ms)
+            return {"skipped": True, "all_null_pk": True, "epoch_key": epoch_key,
+                    "n_events": n_events, "wall_ms": wall_ms}
         m = merge_events_sequential(
-            self.table, sl, payload, self.policy,
+            self.table, sl.filter(F.col("url").isNotNull()), payload, self.policy,
             derived=self._derived_specs(), epoch_key=epoch_key, touched=touched,
+            b_key_bytes=sum(
+                r["key_bytes"] or 0 for r in per_bucket if r["_mb"] >= 0
+            ),
         )
         wall_ms = int((time.time() - t0) * 1000)
         self._write_lineage(epoch, slice_no, per_bucket, m, wall_ms)
@@ -432,6 +531,8 @@ class CdcPipeline:
                 for d in os.listdir(self.staging_path)
                 if d.startswith("epoch=")
             )
+        if self._start_epoch is not None:
+            epochs = [(e, d) for e, d in epochs if e >= self._start_epoch]
         out: list[dict] = []
         parallel = (
             max_concurrent_epochs > 1 and self.merge_mode == "mor"
@@ -480,6 +581,34 @@ class CdcPipeline:
         self.flush_lineage()
         return out
 
+    # ------------------------------------------------------------------
+    def timestamp_to_epoch(self, ts) -> int | None:
+        """timestampToStreamOffset analog (MysqlConnector.java:760-771,
+        MysqlBinlogPositionUtil.findByLessTimestamp): the first staged epoch
+        still containing an event with warc_ts >= ts; None when ts is past
+        the end of the log. Column-pruned scan of (epoch, warc_ts) only —
+        parquet min/max stats prune row groups, epoch is the partition
+        directory column."""
+        df = self.spark.read.schema(EVENTS_SCHEMA).parquet(self.staging_path)
+        row = (
+            df.filter(F.col("warc_ts") >= F.lit(ts).cast("timestamp"))
+            .agg(F.min("epoch"))
+            .collect()[0]
+        )
+        return None if row[0] is None else int(row[0])
+
+    def start_at(self, ts) -> int | None:
+        """Start replication at a wall-clock restart point: subsequent
+        replay_batch()/run_stream() skip every epoch before the one `ts`
+        maps to (the reference's timestamp→stream-offset restart mode).
+        Returns the resolved start epoch (None = ts is past the log end, in
+        which case replay applies NOTHING until newer epochs land)."""
+        e = self.timestamp_to_epoch(ts)
+        # past-the-end: filter out every currently staged epoch (new epochs
+        # appended later still replay — they are >= any current epoch + 1)
+        self._start_epoch = e if e is not None else 2**62
+        return e
+
     def _maybe_compact(self) -> None:
         counts = self.table.delta_file_counts()
         if counts and max(counts.values()) >= self.compact_every:
@@ -516,6 +645,8 @@ class CdcPipeline:
                 for r in batch_df.collect()
                 if r["value"].strip()
             )
+            if self._start_epoch is not None:
+                eps = [(e, d) for e, d in eps if e >= self._start_epoch]
             for e, has_ddl in eps:
                 df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
                     os.path.join(self.staging_path, f"epoch={e}")
@@ -523,6 +654,7 @@ class CdcPipeline:
                 self.apply_epoch(df, e, has_ddl=has_ddl)
             self.flush_lineage()
 
+        self._register_lifecycle_listener()
         writer = (
             stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_path)
@@ -530,3 +662,37 @@ class CdcPipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _register_lifecycle_listener(self) -> None:
+        """Lifecycle callbacks (SURVEY.md §2.11): the reference notifies
+        connector init/start/stop (PDKInvocationMonitor lifecycle); here a
+        StreamingQueryListener records started/progress/terminated events
+        into `self.lifecycle_events` for operational visibility. Registered
+        once per pipeline."""
+        if getattr(self, "_listener", None) is not None:
+            return
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        events: list[dict] = []
+        self.lifecycle_events = events
+
+        class _Lifecycle(StreamingQueryListener):
+            def onQueryStarted(self, e):
+                events.append({"event": "started", "id": str(e.id),
+                               "ts_ms": int(time.time() * 1000)})
+
+            def onQueryProgress(self, e):
+                events.append({"event": "progress", "id": str(e.progress.id),
+                               "batch_id": e.progress.batchId,
+                               "num_input_rows": e.progress.numInputRows,
+                               "ts_ms": int(time.time() * 1000)})
+
+            def onQueryIdle(self, e):
+                pass
+
+            def onQueryTerminated(self, e):
+                events.append({"event": "terminated", "id": str(e.id),
+                               "ts_ms": int(time.time() * 1000)})
+
+        self._listener = _Lifecycle()
+        self.spark.streams.addListener(self._listener)

@@ -31,7 +31,8 @@ def oracle_replay(event_rows, insert_policy="update_on_exists",
             o.apply_slice([e for e in dml if (lo is None or e["event_seq"] > lo)
                            and e["event_seq"] < hi])
             d = ddl["ddl"]
-            o.apply_ddl(d["kind"], d["column"], d.get("new_name"), d.get("new_type"))
+            o.apply_ddl(d["kind"], d["column"], d.get("new_name"),
+                        d.get("new_type"), d.get("new_default"))
             lo = hi
         o.apply_slice([e for e in dml if lo is None or e["event_seq"] > lo])
     return o

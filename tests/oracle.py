@@ -62,19 +62,23 @@ class OracleReplayer:
     )
     state: dict[str, dict] = field(default_factory=dict)
     last_ord: dict[str, tuple] = field(default_factory=dict)
+    n_null_pk: int = 0  # skipped records with no derivable PK
     # image-field name history: current logical name per original image field
     image_names: dict[str, str] = field(
         default_factory=lambda: {"warc_ts": "warc_ts", "html": "html", "lang": "lang"}
     )
 
     # ---- schema evolution (between slices) ----
-    def apply_ddl(self, kind: str, column: str, new_name=None, new_type=None):
+    def apply_ddl(self, kind: str, column: str, new_name=None, new_type=None,
+                  new_default=None):
         names = [c[0] for c in self.columns]
         if kind == "ADD_COLUMN":
             assert column not in names
             self.columns.append((column, new_type))
+            # initial default: rows that existed before the ADD read it back
+            dv = _cast(new_default, new_type) if new_default is not None else None
             for row in self.state.values():
-                row.setdefault(column, None)
+                row.setdefault(column, dv)
         elif kind == "RENAME_COLUMN":
             i = names.index(column)
             self.columns[i] = (new_name, self.columns[i][1])
@@ -123,7 +127,24 @@ class OracleReplayer:
         return out
 
     def _apply_event(self, e: dict) -> None:
-        url, op = e["url"], e["op"]
+        op = e["op"]
+        # PK resolution: event key, else after-image key, else before-image
+        # key (Debezium-shaped deletes carry the PK only in `before`)
+        url = e["url"]
+        if url is None:
+            url = (e.get("after") or {}).get("url") or (e.get("before") or {}).get("url")
+        if url is None:
+            # null-PK record: skip and count (NormalWriteRecorder.java:210-226)
+            self.n_null_pk += 1
+            return
+        # update-of-PK: delete the old key, insert the after image as the
+        # new row — hudi ClientPerformer.java:107-132
+        b_url = (e.get("before") or {}).get("url")
+        if op == "U" and b_url is not None and b_url != url:
+            self._apply_event({**e, "op": "D", "url": b_url, "before": None,
+                               "after": None})
+            self._apply_event({**e, "op": "I", "url": url, "before": None})
+            return
         ordk = (e["warc_ts"], e["event_seq"])
         prev = self.last_ord.get(url)
         if prev is not None and ordk <= prev:

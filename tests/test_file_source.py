@@ -68,3 +68,31 @@ def test_kafka_stub_fails_cleanly(spark):
     from tapdata_connectors_spark.sources.file_source import kafka_changelog_stream
     with pytest.raises(RuntimeError, match="kafka"):
         kafka_changelog_stream(spark, "localhost:9092", "t")
+
+
+def test_parse_kafka_events_json_mapping(spark):
+    # the Kafka value-decode step, testable without the connector jar
+    import json
+
+    from tapdata_connectors_spark.sources.file_source import parse_kafka_events
+
+    msgs = [
+        {"event_seq": 1, "epoch": 0, "op": "I", "url": "u1",
+         "warc_ts": "2024-01-01T00:00:01.000Z",
+         "after": {"url": "u1", "warc_ts": "2024-01-01T00:00:01.000Z",
+                   "lang": "en"},
+         "exactly_once_id": "k_0_1", "ts_ms": 1},
+        {"event_seq": 2, "epoch": 0, "op": "D", "url": "u1",
+         "warc_ts": "2024-01-01T00:00:02.000Z",
+         "exactly_once_id": "k_0_2", "ts_ms": 2},
+    ]
+    df = spark.createDataFrame([(json.dumps(m).encode(),) for m in msgs],
+                               "value binary")
+    out = {r["event_seq"]: r for r in parse_kafka_events(df).collect()}
+    assert out[1]["op"] == "I" and out[1]["after"]["lang"] == "en"
+    assert out[1]["url"] == "u1" and out[1]["warc_ts"] is not None
+    assert out[2]["op"] == "D" and out[2]["after"] is None
+    # malformed JSON -> all-null row (skipped downstream as null-PK)
+    bad = spark.createDataFrame([(b"{not json",)], "value binary")
+    r = parse_kafka_events(bad).collect()[0]
+    assert r["url"] is None and r["op"] is None

@@ -85,3 +85,22 @@ def test_ddl_idempotence_guard(spark, tmpdir_):
     v = t.current_version()
     t.add_column("c1", "int", epoch_key="e0:ddl5")  # replayed: no-op
     assert t.current_version() == v
+
+
+def test_ddl_guards_engine_columns(spark, tmpdir_):
+    # merge key and the LWW ordering column are engine-critical: renames
+    # or drops would break bucket_expr / merge ordering / the redelivery
+    # stale-guard — the table must reject them loudly (ADVICE r1)
+    t = make(spark, tmpdir_)
+    with pytest.raises(ValueError, match="merge key"):
+        t.rename_column("url", "page_url")
+    with pytest.raises(ValueError, match="merge key"):
+        t.drop_column("url")
+    with pytest.raises(ValueError, match="ordering column"):
+        t.rename_column("warc_ts", "version_ts")
+    with pytest.raises(ValueError, match="ordering column"):
+        t.drop_column("warc_ts")
+    # non-critical columns still evolve freely
+    t.rename_column("lang", "language")
+    t.drop_column("language")
+    assert "language" not in [f.name for f in t.schema().fields]

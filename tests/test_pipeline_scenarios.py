@@ -203,3 +203,95 @@ def test_tombstone_expiry(spark, tmpdir_):
     pipe.table.compact(buckets=list(range(4)), expire_tombstones=True)
     assert pipe.table.read_raw().filter("_deleted").count() == 0
     assert pipe.table.read().count() == before  # visible state unchanged
+
+
+def test_f13_update_of_pk(spark, tmpdir_):
+    # key-changing updates apply as delete(old)+insert(new) — hudi
+    # ClientPerformer.java:107-132; fold sees them pre-split
+    # (operators/events.normalize_events)
+    cfg = GeneratorConfig(n_events=800, n_urls=80, epoch_size=400,
+                          p_update=0.5, p_key_change=0.3)
+    _, ev = run(spark, tmpdir_, cfg)
+    assert ev.filter("before.url is not null and before.url <> url").count() > 0
+
+
+def test_f13_update_of_pk_mor(spark, tmpdir_):
+    cfg = GeneratorConfig(n_events=800, n_urls=80, epoch_size=400,
+                          p_update=0.5, p_key_change=0.3)
+    run(spark, tmpdir_, cfg, merge_mode="mor")
+
+
+def test_f14_null_pk_skipped_and_counted(spark, tmpdir_):
+    cfg = GeneratorConfig(n_events=800, n_urls=80, epoch_size=400,
+                          p_update=0.4, p_null_pk=0.1)
+    pipe, ev = run(spark, tmpdir_, cfg)
+    n_null = ev.filter(
+        "url is null and after.url is null and before.url is null"
+    ).count()
+    assert n_null > 0
+    # skipped events are accounted under lineage partition -2
+    lin = pipe.lineage().filter("partition_id = -2")
+    assert lin.agg({"n_events": "sum"}).collect()[0][0] == n_null
+
+
+def test_f14_null_pk_mor(spark, tmpdir_):
+    cfg = GeneratorConfig(n_events=800, n_urls=80, epoch_size=400,
+                          p_update=0.4, p_null_pk=0.1, p_delete=0.15)
+    pipe, ev = run(spark, tmpdir_, cfg, merge_mode="mor")
+    n_null = ev.filter("url is null").count()
+    lin = pipe.lineage().filter("partition_id = -2")
+    assert lin.agg({"n_events": "sum"}).collect()[0][0] == n_null
+
+
+def test_f13_f14_combined_with_dups(spark, tmpdir_):
+    cfg = GeneratorConfig(n_events=1200, n_urls=100, epoch_size=300,
+                          p_update=0.5, p_delete=0.1, p_key_change=0.2,
+                          p_null_pk=0.05, p_dup=0.1)
+    run(spark, tmpdir_, cfg)
+
+
+def test_resume_from_timestamp_api(spark, tmpdir_):
+    # start_at(ts) maps a wall-clock restart point to the first epoch and
+    # skips everything earlier (timestampToStreamOffset analog,
+    # MysqlConnector.java:760-771)
+    cfg = GeneratorConfig(n_events=1000, n_urls=100, epoch_size=250,
+                          p_update=0.4, p_delete=0.1)
+    ev = generate_events(spark, cfg)
+    stage_events(ev, f"{tmpdir_}/staging")
+
+    # a ts inside epoch 2 (warc_ts = 1_700_000_000_000 + seq*250 ms)
+    import datetime as dt
+    cut = dt.datetime.utcfromtimestamp((1_700_000_000_000 + 500 * 250) / 1000)
+
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging", n_buckets=4)
+    e0 = pipe.start_at(cut)
+    assert e0 == 2
+    pipe.replay_batch()
+
+    rows = [r for r in ev.collect() if r["epoch"] >= e0]
+    oracle = oracle_replay(rows)
+    assert_state_equal(pipe.table.read(), oracle)
+
+    # past-the-end timestamp: nothing to replay
+    p2 = CdcPipeline(spark, f"{tmpdir_}/t2", f"{tmpdir_}/staging", n_buckets=4)
+    assert p2.start_at(dt.datetime(2100, 1, 1)) is None
+    assert p2.replay_batch() == []
+
+
+def test_ddl_add_column_with_specs(spark, tmpdir_):
+    # DEFAULT / NOT NULL / COMMENT attribute specs
+    # (MysqlAddColumnDDLWrapper.java:35-98): pre-ADD rows read the initial
+    # default; attributes land in the manifest schema
+    cfg = GeneratorConfig(
+        n_events=400, n_urls=300, epoch_size=200, p_update=0.2, p_delete=0.05,
+        ddl=(DdlSpec(seq=200, kind="ADD_COLUMN", column="views",
+                     new_type="int", new_default="7", not_null=False,
+                     comment="page view counter"),),
+        extras_cols=(("views", 200, "int"),),
+    )
+    pipe, _ = run(spark, tmpdir_, cfg)
+    df = pipe.table.read()
+    # rows never touched after the ADD carry the default, not null
+    assert df.filter("views = 7").count() > 0
+    f = [f for f in pipe.table.manifest().fields if f.name == "views"][0]
+    assert f.default == "7" and f.comment == "page view counter"

@@ -1,0 +1,111 @@
+"""Physical-plan regression tests.
+
+The two-phase fold/resolve (commit b3b4a92) exists to keep multi-KB payload
+rows out of aggregation sort buffers: winners hash-aggregate (HashAggregate,
+primitive buffers only) and payloads fetch through shuffled-hash joins.
+These tests pin that physical shape so a refactor can't silently regress to
+SortAggregate / SortMergeJoin over events (Spark 4.1 plans varlen max_by as
+SortAggregate — measured, see operators/mor.py docstring).
+
+Also: the COW merge's broadcast-vs-shuffle decision is bytes-based
+(BROADCAST_KEY_BYTES); both plans must produce identical state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tapdata_connectors_spark.operators.dedup import ColumnSpec, lww_fold
+from tapdata_connectors_spark.operators.mor import KIND, ORD, resolve_mor
+from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+
+PAYLOAD = [
+    ColumnSpec("warc_ts", "timestamp", "image"),
+    ColumnSpec("html", "binary", "image"),
+    ColumnSpec("lang", "string", "image"),
+]
+
+TS0 = dt.datetime(2024, 1, 1)
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _events(spark, n=200):
+    rows = []
+    for seq in range(n):
+        op = "I" if seq % 7 == 0 else ("D" if seq % 13 == 0 else "U")
+        url = f"u{seq % 37}"
+        ts = TS0 + dt.timedelta(seconds=seq)
+        after = (url, ts, f"<p>{seq}</p>".encode(), "en") if op != "D" else None
+        rows.append((seq, 0, op, url, ts, None, after, None, None, None, f"e{seq}", seq))
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_lww_fold_plan_is_hash_aggregated(spark):
+    plan = _phys(lww_fold(_events(spark), PAYLOAD))
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan, "payload fetch must stay sort-free"
+    # phase-B payload fetch is a shuffled-hash join (hinted)
+    assert "ShuffledHashJoin" in plan
+    # The ONLY SortAggregate allowed is the dup-cleanup tail: a
+    # dropDuplicates(first(...)) over the `__ndup > 0` subset (keys that
+    # actually saw duplicate deliveries — a filtered sliver, never the full
+    # event stream). Payload winners (max_by/max over events) must never
+    # sort-aggregate.
+    for line in plan.splitlines():
+        if "SortAggregate" in line:
+            assert "first(" in line and "max_by" not in line, line[:300]
+
+
+def test_resolve_mor_plan_is_hash_aggregated(spark):
+    rows = []
+    for i in range(100):
+        url = f"u{i % 23}"
+        rows.append((url, TS0, f"<p>{i}</p>".encode(), "en", True, True, True,
+                     "I" if i % 3 else "B", (TS0 + dt.timedelta(seconds=i), i)))
+    schema = (
+        "url string, warc_ts timestamp, html binary, lang string, "
+        "`__set_warc_ts` boolean, `__set_html` boolean, `__set_lang` boolean, "
+        f"{KIND} string, {ORD} struct<ts:timestamp, seq:bigint>"
+    )
+    unified = spark.createDataFrame(
+        [(u, ts, h, lg, s1, s2, s3, k, o) for u, ts, h, lg, s1, s2, s3, k, o in rows],
+        schema,
+    )
+    plan = _phys(resolve_mor(unified, PAYLOAD))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_broadcast_and_shuffle_plans_agree(spark, tmpdir_, monkeypatch):
+    """BROADCAST_KEY_BYTES=0 forces the shuffle plan; final state must equal
+    the broadcast plan's (VERDICT r1 item 7)."""
+    from tapdata_connectors_spark.lake import merge as merge_mod
+    from tapdata_connectors_spark.sources.generator import (
+        GeneratorConfig,
+        generate_events,
+        stage_events,
+    )
+    from tapdata_connectors_spark.streaming.driver import CdcPipeline
+    from tests.helpers import assert_state_equal, oracle_replay
+
+    cfg = GeneratorConfig(n_events=600, n_urls=80, epoch_size=300,
+                          p_update=0.4, p_delete=0.1)
+    ev = generate_events(spark, cfg)
+    stage_events(ev, f"{tmpdir_}/staging")
+
+    p1 = CdcPipeline(spark, f"{tmpdir_}/t_bcast", f"{tmpdir_}/staging", n_buckets=4)
+    p1.replay_batch()
+
+    monkeypatch.setattr(merge_mod, "BROADCAST_KEY_BYTES", 0)
+    p2 = CdcPipeline(spark, f"{tmpdir_}/t_shuffle", f"{tmpdir_}/staging", n_buckets=4)
+    p2.replay_batch()
+
+    oracle = oracle_replay(ev.collect())
+    assert_state_equal(p1.table.read(), oracle)
+    assert_state_equal(p2.table.read(), oracle)

@@ -42,3 +42,23 @@ def test_stream_replay_with_ddl_and_resume(spark, tmpdir_):
     q3 = pipe.run_stream(f"{tmpdir_}/ckpt", max_epochs_per_trigger=2)
     q3.awaitTermination(300)
     assert_state_equal(pipe.table.read(), oracle_replay(ev.collect() + ev2.collect()))
+
+
+def test_lifecycle_listener_records_events(spark, tmpdir_):
+    # StreamingQueryListener lifecycle callbacks (SURVEY.md §2.11)
+    import time as _t
+
+    cfg = GeneratorConfig(n_events=300, n_urls=50, epoch_size=300)
+    ev = generate_events(spark, cfg)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging", n_buckets=4)
+    q = pipe.run_stream(f"{tmpdir_}/ckpt")
+    q.awaitTermination(300)
+    # listener events arrive on a background bus thread; give it a moment
+    for _ in range(50):
+        kinds = {e["event"] for e in pipe.lifecycle_events}
+        if {"started", "terminated"} <= kinds:
+            break
+        _t.sleep(0.2)
+    kinds = {e["event"] for e in pipe.lifecycle_events}
+    assert "started" in kinds and "terminated" in kinds
