@@ -35,7 +35,11 @@ sys.path.insert(0, REPO)
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_STAGE_EVENTS", "2000000"))
 HTML_KB = int(os.environ.get("SPARK_GRAFT_STAGE_KB", "3"))
-STAGING = f"/tmp/spark_graft_bench/stage_ev_{N_EVENTS}_kb{HTML_KB}"
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+    "/dev/shm/spark_graft_bench" if os.path.isdir("/dev/shm")
+    else "/tmp/spark_graft_bench"
+)
+STAGING = f"{SCRATCH}/stage_ev_{N_EVENTS}_kb{HTML_KB}"
 
 STAGE_SNIPPET = r"""
 import json, shutil, sys, tempfile, time
@@ -49,8 +53,12 @@ from tapdata_connectors_spark.schema import EVENTS_SCHEMA
 from tapdata_connectors_spark.operators.dedup import ColumnSpec, lww_fold
 from tapdata_connectors_spark.functions.text_extract import extract_text_udf
 
+import os as _os
+conf = {{"spark.ui.showConsoleProgress": "false"}}
+if _os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+    conf["spark.local.dir"] = _os.environ["SPARK_GRAFT_LOCAL_DIR"]
 spark = build_session(f"local[{{cores}}]", shuffle_partitions=cores,
-                      extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                      extra_conf=conf)
 PAYLOAD = [ColumnSpec("warc_ts", "timestamp", "image"),
            ColumnSpec("html", "binary", "image"),
            ColumnSpec("lang", "string", "image")]
@@ -133,13 +141,21 @@ def ensure_inputs():
 
 
 def run_stage(stage: str, cores: int, table: str) -> float:
+    import shutil
+
     code = STAGE_SNIPPET.format(repo=REPO)
-    args = [sys.executable, "-c", code, str(cores), stage, STAGING,
-            str(N_EVENTS), str(HTML_KB)]
+    # pinned to exactly `cores` CPUs — same honesty rule as bench.py's
+    # end-to-end scaling runs (unpinned local[8] borrows all host cores
+    # for GC/IO/Arrow workers)
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
+    args = pin + [sys.executable, "-c", code, str(cores), stage, STAGING,
+                  str(N_EVENTS), str(HTML_KB)]
     if stage == "resolve":
         args.append(table)
-    env = dict(os.environ, PYTHONPATH=REPO,
-               SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    env = dict(os.environ, PYTHONPATH=REPO, TMPDIR=SCRATCH,
+               SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+               SPARK_GRAFT_LOCAL_DIR=os.path.join(SCRATCH, f"spark_local_{cores}"))
+    os.makedirs(SCRATCH, exist_ok=True)
     r = subprocess.run(args, env=env, capture_output=True, text=True, timeout=3600)
     for line in r.stdout.splitlines():
         if line.startswith("RESULT "):

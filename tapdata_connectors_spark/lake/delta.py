@@ -72,18 +72,31 @@ def append_delta(
         types_map[fid] = c.type
         sel.append(F.col(c.name))
         sel.append(F.col(f"__set_{c.name}"))
+    payload_names = {c.name for c in payload}
+    chained: list[tuple] = []
     for out, src, fn in derived:
         fid = str(ids[out])
-        # derived value exists exactly when its source was set (unset source
-        # -> resolve keeps the base row's derived value); UDF sees null
-        # input for unset rows, so extraction cost ∝ actually-set rows
-        sel.append(F.when(F.col(f"__set_{src}"), fn(F.col(src))).alias(out))
-        sel.append(F.col(f"__set_{src}").alias(f"__set_{out}"))
         cols_map[fid] = out
         cols_map[f"s{fid}"] = f"__set_{out}"
         types_map[fid] = "string"
+        if src in payload_names:
+            # derived value exists exactly when its source was set (unset
+            # source -> resolve keeps the base row's derived value); UDF
+            # sees null input for unset rows, so extraction cost ∝
+            # actually-set rows
+            sel.append(F.when(F.col(f"__set_{src}"), fn(F.col(src))).alias(out))
+            sel.append(F.col(f"__set_{src}").alias(f"__set_{out}"))
+        else:
+            chained.append((out, src, fn))
 
     delta = deduped.select(*sel)
+    # chained specs (src itself derived, e.g. text → fingerprint): second
+    # projection so the source is an attribute reference and its UDF is
+    # evaluated once. Specs must be in dependency order.
+    for out, src, fn in chained:
+        delta = delta.withColumn(
+            out, F.when(F.col(f"__set_{src}"), fn(F.col(src)))
+        ).withColumn(f"__set_{out}", F.col(f"__set_{src}"))
     entries = table.write_data_files(
         delta, "_mb", kind="delta", columns=cols_map, types=types_map
     )

@@ -90,7 +90,20 @@ def merge_into(
     m = table.manifest()
     key = m.key
     derived = derived or []
-    derived_by_src = {src: (out, fn) for out, src, fn in derived}
+    payload_names = {c.name for c in payload}
+    # first-level specs derive from a payload column inside the payload
+    # loop; CHAINED specs (src is itself a derived output, e.g. text →
+    # fingerprint) run in a second projection over `changed`, referencing
+    # the first-level output as an attribute — the source UDF is evaluated
+    # exactly once (CollapseProject refuses to duplicate non-cheap exprs)
+    first_by_src: dict[str, list] = {}
+    chained: list[DerivedSpec] = []
+    for out, src, fn in derived:
+        if src in payload_names:
+            first_by_src.setdefault(src, []).append((out, fn))
+        else:
+            chained.append((out, src, fn))
+    chained_srcs = {src for _o, src, _f in chained}
     logical_cols = [f.name for f in m.fields]
 
     b = deduped
@@ -178,8 +191,7 @@ def merge_into(
             .otherwise(F.lit(None).cast(ty))
         )
         final_cols.append(new_val.alias(c.name))
-        if c.name in derived_by_src:
-            out_name, fn = derived_by_src[c.name]
+        for out_name, fn in first_by_src.get(c.name, []):
             fresh = (
                 (F.col("_action") == "insert")
                 | ((F.col("_action") == "update") & setf)
@@ -193,6 +205,11 @@ def merge_into(
                 .otherwise(F.lit(None).cast("string"))
                 .alias(out_name)
             )
+            if out_name in chained_srcs:
+                final_cols.append(fresh.alias(f"__fresh_{out_name}"))
+    # carry the target's old values for chained outputs through the select
+    for out, _src, _fn in chained:
+        final_cols.append(F.col(f"_t_{out}"))
     final_cols += [
         F.when(keepish, F.col(f"_t{SEQ_COL}")).otherwise(eff_seq).alias(SEQ_COL),
         F.when(keepish, F.coalesce(F.col(f"_t{TOMBSTONE_COL}"), F.lit(False)))
@@ -222,7 +239,21 @@ def merge_into(
         *[F.col(n) for n in logical_cols], F.col(SEQ_COL), F.col(TOMBSTONE_COL),
         F.col("_tb").alias("_mb"),
     ).select(*order)
-    changed_out = changed.drop("_action").select(*order)
+    # chained derived columns (src = a first-level derived output): second
+    # projection so the source is an attribute reference, never a repeated
+    # UDF call. Specs must be listed in dependency order.
+    changed_full = changed
+    fresh_of: dict[str, F.Column] = {}
+    for out, src, fn in chained:
+        fresh = fresh_of.get(src, F.col(f"__fresh_{src}"))
+        changed_full = changed_full.withColumn(
+            out,
+            F.when(fresh, fn(F.when(fresh, F.col(src))))
+            .when(F.col("_action").isin("stale", "ignore", "update"), F.col(f"_t_{out}"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        fresh_of[out] = fresh
+    changed_out = changed_full.drop("_action").select(*order)
     result = kept_out.unionByName(changed_out)
 
     entries = table.write_data_files(result, "_mb")
@@ -286,7 +317,7 @@ def merge_events_sequential(
     m = table.manifest()
     key = m.key
     derived = derived or []
-    derived_by_src = {src: (out, fn) for out, src, fn in derived}
+    payload_names = {c.name for c in payload}
     logical_cols = [f.name for f in m.fields]
 
     ev_sel = [
@@ -351,8 +382,13 @@ def merge_events_sequential(
     # recompute derived columns where the source value came from an event
     # (UDF sees null input elsewhere — vectorized cost ∝ changed rows)
     resolved_out = resolved
+    fresh_of: dict[str, F.Column] = {}
     for out, src, fn in derived:
-        fresh = F.col(f"__evt_{src}")
+        # chained specs (src itself derived, e.g. text → fingerprint) are
+        # fresh exactly when their source was fresh; specs are applied in
+        # dependency order so F.col(src) sees the recomputed value
+        fresh = F.col(f"__evt_{src}") if src in payload_names else fresh_of[src]
+        fresh_of[out] = fresh
         resolved_out = resolved_out.withColumn(
             out, F.when(fresh, fn(F.when(fresh, F.col(src)))).otherwise(F.col(out))
         )

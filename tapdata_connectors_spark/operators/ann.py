@@ -1,0 +1,176 @@
+"""Approximate-nearest-neighbor operators over embedding columns.
+
+The similarity-search block of the training-data pipeline (task brief):
+brute-force cosine is the correctness baseline (queries.py
+q_knn_brute_cosine); the SCALE paths here are:
+
+- random-hyperplane LSH bucketing (map-only sign-bit pattern; candidates
+  searched within a bucket: `ann_lsh_topk`),
+- IVF: k-means coarse quantizer trained with Lloyd iterations
+  (`ivf_train`) where each iteration is ONE shuffle (groupBy cluster id)
+  and the corpus itself never moves — centroids are broadcast literals —
+  then inverted-list assignment (`ivf_assign`) as a hash-aggregated
+  argmin, no window, no sort.
+
+All arithmetic is on ×1e6-scaled integer components: exact, associative,
+engine-order-independent (the same determinism rule as queries.py).
+Everything is built-in JVM expressions; no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scaled_vec(col: Column) -> Column:
+    """float embedding -> exact integer components (×1e6, rounded)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000000.0).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_bucket(v: Column, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id (sign-bit pattern of
+    `n_planes` md5-derived integer hyperplanes). Map-only; identical to
+    the DuckDB-oracle formulation in queries.py."""
+    def plane_weights(p: int) -> Column:
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # treats a 2-parameter lambda as (element, index), so a `p=p`
+        # default-arg capture would shadow p with the index column.
+        # Eager lambda evaluation makes plain closure capture safe.
+        return F.transform(
+            F.sequence(F.lit(1), F.size(v)),
+            lambda i: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"pl{p}_"), i.cast("string"))), 1, 8
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(2001),
+            ) - F.lit(1000),
+        )
+
+    bits = []
+    for p in range(n_planes):
+        w = plane_weights(p)
+        bits.append(F.when(int_dot(v, w) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def ann_lsh_topk(df: DataFrame, n_queries: int = 3, k: int = 5,
+                 n_planes: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    the query's bucket; exact integer-dot re-rank within the bucket.
+    Scale shape: the join is on the bucket id (work ∝ bucket sizes, never
+    all-pairs); ranking is a per-query window over candidates only."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("dot", int_dot(F.col("qv"), F.col("v")))
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"), "dot")
+    )
+
+
+def _centroid_lit(centroids: list[list[int]]) -> Column:
+    """centroids as a literal array<struct<cid,cv>> — broadcast by value,
+    the corpus never shuffles for an assignment."""
+    return F.array(*[
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.array(*[F.lit(int(x)).cast("long") for x in cv]).alias("cv"),
+        )
+        for cid, cv in enumerate(centroids)
+    ])
+
+
+def assign_col(v: Column, centroids: list[list[int]]) -> Column:
+    """struct(d2, cid) of the nearest centroid for one scaled vector —
+    an argmin computed per row via array expressions (map-only)."""
+    pairs = F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(v, c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(pairs)
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[int]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centroid_id, dist2): inverted-list assignment. Map-only —
+    centroids ride into the task as literals; ties break to the lowest
+    centroid id (array_min on struct(d2, cid))."""
+    v = scaled_vec(F.col(vec_col))
+    best = assign_col(v, centroids)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        best["cid"].cast("bigint").alias("centroid_id"),
+        best["d2"].alias("dist2"),
+    )
+
+
+def ivf_train(df: DataFrame, k: int = 4, iters: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> list[list[int]]:
+    """Lloyd's k-means on scaled-integer vectors: the IVF coarse-quantizer
+    trainer (replaces the r1 'first k vectors' placeholder with actual
+    training; seeding is still the deterministic lowest-k ids).
+
+    Scale shape per iteration: assignment is map-only (broadcast literal
+    centroids), the ONLY shuffle is groupBy(cid) for the per-dimension
+    SUMS — k×dim exact long aggregates with map-side partial combine; the
+    mean's division happens driver-side in integer arithmetic (nearest,
+    ties toward +inf), so training is bit-deterministic on any cluster
+    layout. Centroid state (k×dim ints) round-trips through the driver —
+    the MLlib/k-means|| topology. Empty clusters keep their previous
+    centroid. Returns centroids as k lists of dim ints.
+    """
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
+    )
+    seeds = base.orderBy("vec_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} vectors, have {len(seeds)}")
+    dim = len(seeds[0]["v"])
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = base.withColumn("cid", assign_col(F.col("v"), centroids)["cid"])
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}")
+              for i in range(dim)],
+        ).collect()
+        new = {
+            r["cid"]: [(2 * r[f"s{i}"] + r["n"]) // (2 * r["n"]) for i in range(dim)]
+            for r in sums
+        }
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids

@@ -1,0 +1,133 @@
+"""Lake-level corpus curation: dedup as a pipeline stage over `pages`.
+
+Promotes the corpus operators (operators/corpus.py) from standalone
+registry queries into engine stages over the lake table (VERDICT r1
+"Next round" #6): duplicates are found on the CURRENT resolved table
+state, and the losers are tombstoned through a compaction-style commit.
+
+Why a commit, not synthetic CDC events: curation is out-of-band with the
+source log, so any event_seq it invented could collide with (or wrongly
+outrank) real future source positions. Instead each loser row is
+tombstoned AT ITS OWN stored (warc_ts, _seq) — the rewrite replaces the
+touched buckets' base+delta files exactly like the MOR compactor, so:
+
+- a redelivered OLD event for a deduped url stays stale (its (ts, seq) ≤
+  the tombstone's) — exactly-once holds through curation;
+- a genuinely NEW source event (newer ts / higher seq) resurrects the
+  page — last-writer-wins by source order is preserved;
+- the commit is idempotent per epoch_key (applied_epochs guard), emits
+  per-partition lineage rows (epoch = CURATION_EPOCH), and is atomic via
+  the ordinary manifest CAS.
+
+Scale: the exact scan is one shuffle on the content digest; minhash is
+the two-phase LSH candidate → exact-Jaccard verify shape with ONE
+tokenize+hash pass (corpus.near_dup_losers); the rewrite is ∝ the
+touched buckets, never the whole table.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tapdata_connectors_spark.lake.merge import BROADCAST_KEY_BYTES
+from tapdata_connectors_spark.operators import corpus
+from tapdata_connectors_spark.schema import TOMBSTONE_COL
+
+# lineage epoch tag for curation commits — far above any source epoch
+CURATION_EPOCH = 1 << 20
+
+
+def find_dup_pages(pipe, method: str = "exact",
+                   cfg: corpus.MinHashConfig | None = None) -> DataFrame:
+    """(url, survivor_id) for every page that duplicates a smaller-url
+    page, on the current resolved table state. Pure query — no writes."""
+    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+
+    t = pipe.init_table()
+    key = t.manifest().key
+    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
+    live = t.read_raw().filter(~F.col(TOMBSTONE_COL))
+    if method == "exact":
+        return corpus.exact_dup_losers(live, id_col=key, text_col=text_name)
+    if method == "minhash":
+        return corpus.near_dup_losers(
+            live, cfg or corpus.MinHashConfig(), id_col=key, text_col=text_name
+        )
+    raise ValueError(f"unknown dedup method {method!r} (exact|minhash)")
+
+
+def dedup_pages(pipe, method: str = "exact",
+                cfg: corpus.MinHashConfig | None = None,
+                tag: str = "0", dry_run: bool = False) -> dict:
+    """Find duplicate pages and tombstone the losers (min-key survivor).
+
+    `tag` keys idempotence: re-running with the same (method, tag) is a
+    no-op (epoch_key guard), so a crashed curation pass just re-runs.
+    dry_run returns counts without committing.
+    """
+    t0 = time.time()
+    t = pipe.init_table()
+    key = t.manifest().key
+    epoch_key = f"curation:{method}:{tag}"
+    if t.epoch_applied(epoch_key):
+        return {"skipped": True, "epoch_key": epoch_key}
+
+    losers = find_dup_pages(pipe, method, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # one job: touched buckets + loser count + key bytes (broadcast sizing)
+        per_b = (
+            losers.groupBy(t.bucket_expr(key).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length(key)).alias("kb"))
+            .collect()
+        )
+        touched = sorted(r["b"] for r in per_b)
+        n_losers = sum(r["n"] for r in per_b)
+        key_bytes = sum(r["kb"] or 0 for r in per_b)
+        if dry_run or not touched:
+            return {"n_losers": n_losers, "touched_buckets": touched,
+                    "dry_run": dry_run, "epoch_key": epoch_key,
+                    "version": t.current_version()}
+
+        # pin ONE manifest snapshot (same rule as compact): the replaced
+        # file set and the resolved rows must come from the same version
+        pinned = t.current_version()
+        snap = t.manifest(pinned)
+        tset = set(touched)
+        consumed = {f["path"] for f in snap.files if f["bucket"] in tset}
+        resolved = t.read_raw(version=pinned, buckets=touched).withColumn(
+            "_mb", t.bucket_expr()
+        )
+        lkeys = losers.select(F.col(key), F.lit(True).alias("_is_loser"))
+        if key_bytes <= BROADCAST_KEY_BYTES:
+            lkeys = F.broadcast(lkeys)
+        flipped = (
+            resolved.join(lkeys, key, "left")
+            .withColumn(
+                TOMBSTONE_COL,
+                F.col(TOMBSTONE_COL) | F.coalesce(F.col("_is_loser"), F.lit(False)),
+            )
+            .drop("_is_loser")
+        )
+        entries = t.write_data_files(flipped, "_mb")
+        version = t.commit_files(
+            entries,
+            replaced_paths=consumed,
+            epoch_key=epoch_key,
+            summary={"op": "dedup_pages", "method": method, "n_losers": n_losers},
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        # per-partition lineage rows: curation deletes under CURATION_EPOCH
+        for r in per_b:
+            pipe._lineage_rows.append((
+                CURATION_EPOCH, 0, int(r["b"]), None, None, int(r["n"]),
+                0, 0, int(r["n"]), 0, 0, 0, 0, int(r["n"]), wall_ms,
+            ))
+        pipe.flush_lineage()
+        return {"n_losers": n_losers, "touched_buckets": touched,
+                "version": version, "epoch_key": epoch_key, "wall_ms": wall_ms}
+    finally:
+        losers.unpersist()

@@ -48,6 +48,28 @@ from tapdata_connectors_spark.schema import (
 # logical columns keep resolving into the fixed staging struct)
 _BASE_IMAGE_REFS = {"warc_ts": "warc_ts", "html": "html", "lang": "lang"}
 _DERIVED = {"text": "html"}  # text is derived from html, never folded
+_TEXT_FIELD_ID = 4  # PAGES_FIELDS position of `text` (1-based field id)
+
+# ingest-time enrichment columns (LLM-data ops promoted into the engine):
+# each derives from the extracted text via a CHAINED DerivedSpec — computed
+# inside the same merge/delta projection, only for rows whose text actually
+# changed, with zero extra passes over the table (operators/corpus.py)
+ENRICHMENTS: dict[str, object] = {}
+
+
+def _enrich_fingerprint(c):
+    from tapdata_connectors_spark.operators import corpus
+
+    return corpus.fingerprint(c)
+
+
+def _enrich_pred_lang(c):
+    from tapdata_connectors_spark.operators import corpus
+
+    return corpus.lang_id_col(c)
+
+
+ENRICHMENTS = {"fingerprint": _enrich_fingerprint, "pred_lang": _enrich_pred_lang}
 
 
 class CdcPipeline:
@@ -62,6 +84,7 @@ class CdcPipeline:
         merge_mode: str = "cow",
         compact_every: int = 8,
         seq_is_lww_order: bool = True,
+        enrich: list[str] | None = None,
     ):
         """merge_mode:
         'cow'  — copy-on-write MERGE per epoch (lake/merge.py): epoch cost ∝
@@ -102,6 +125,17 @@ class CdcPipeline:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.seq_is_lww_order = seq_is_lww_order
+        # ingest-time enrichment: extra string columns derived from the
+        # extracted text (ENRICHMENTS registry). Must be passed identically
+        # when re-attaching to an existing enriched table — field ids are
+        # assigned at create in list order, directly after PAGES_FIELDS.
+        self.enrich = list(enrich or [])
+        for name in self.enrich:
+            if name not in ENRICHMENTS:
+                raise ValueError(f"unknown enrichment {name!r}; known: {sorted(ENRICHMENTS)}")
+        self._enrich_ids = {
+            len(PAGES_FIELDS) + 1 + i: name for i, name in enumerate(self.enrich)
+        }
         self.table = LakeTable(spark, table_path)
         self._lineage_rows: list[tuple] = []
         self._start_epoch: int | None = None
@@ -113,7 +147,8 @@ class CdcPipeline:
                 self.table = LakeTable.create(
                     self.spark,
                     self.table_path,
-                    fields=[(n, t.simpleString()) for n, t, _ in PAGES_FIELDS],
+                    fields=[(n, t.simpleString()) for n, t, _ in PAGES_FIELDS]
+                    + [(n, "string") for n in self.enrich],
                     key="url",
                     n_buckets=self.n_buckets,
                 )
@@ -137,8 +172,8 @@ class CdcPipeline:
                 continue
             if f.id in id_to_base:
                 specs.append(ColumnSpec(f.name, f.type, "image", id_to_base[f.id]))
-            elif f.id <= len(PAGES_FIELDS):
-                continue  # a renamed derived/key col — not foldable
+            elif f.id <= len(PAGES_FIELDS) or f.id in self._enrich_ids:
+                continue  # a renamed derived/enrichment/key col — not foldable
             else:
                 specs.append(ColumnSpec(f.name, f.type, "extras"))
         return specs
@@ -153,6 +188,12 @@ class CdcPipeline:
         src = self._current_name_of(3)
         if "text" in names and src is not None:
             out.append(("text", src, lambda c: extract_text_udf(c)))
+            # chained enrichment specs, in dependency order after text
+            text_name = self._current_name_of(_TEXT_FIELD_ID)
+            for fid, ename in self._enrich_ids.items():
+                cur = self._current_name_of(fid)
+                if cur is not None and text_name is not None:
+                    out.append((cur, text_name, ENRICHMENTS[ename]))
         return out
 
     def _current_name_of(self, field_id: int) -> str | None:
@@ -169,6 +210,14 @@ class CdcPipeline:
         df = pages
         if derive_text and "text" not in df.columns:
             df = df.withColumn("text", extract_text_udf(F.col("html")))
+        for fid, ename in self._enrich_ids.items():
+            name = self._current_name_of(fid) or ename
+            if name not in df.columns:
+                df = df.withColumn(
+                    name,
+                    ENRICHMENTS[ename](F.col("text")) if "text" in df.columns
+                    else F.lit(None).cast("string"),
+                )
         df = (
             df.withColumn(SEQ_COL, F.lit(-1).cast("long"))
             .withColumn("_deleted", F.lit(False))

@@ -1,0 +1,129 @@
+"""ANN operators (operators/ann.py) vs exact Python oracles: IVF k-means
+training (iterative — not SQL-expressible, so oracle-gated here rather
+than in the DuckDB registry) and LSH-bucketed top-k."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from tapdata_connectors_spark.operators import ann
+
+DIM = 6
+
+
+def _vecs(n, seed=7):
+    rng = random.Random(seed)
+    # three obvious clusters + noise, floats with exact 1e-6 grid values
+    out = []
+    for i in range(n):
+        center = [(-5, 5, 0), (8, -2, 3), (0, 9, -7)][i % 3]
+        base = [center[j % 3] + rng.randint(-1000, 1000) / 1000 for j in range(DIM)]
+        out.append((i, [round(x, 6) for x in base]))
+    return out
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs]
+    )
+
+
+def _scale(v):
+    return [int(round(x * 1000000)) for x in v]
+
+
+def _py_assign(sv, cents):
+    best = min(
+        (sum((a - b) ** 2 for a, b in zip(sv, cv)), cid)
+        for cid, cv in enumerate(cents)
+    )
+    return best  # (d2, cid)
+
+
+def _py_train(vecs, k, iters):
+    sv = {i: _scale(v) for i, v in vecs}
+    cents = [sv[i] for i in sorted(sv)[:k]]
+    for _ in range(iters):
+        groups: dict[int, list[list[int]]] = {}
+        for i in sorted(sv):
+            _d2, cid = _py_assign(sv[i], cents)
+            groups.setdefault(cid, []).append(sv[i])
+        new = []
+        for c in range(k):
+            if c not in groups:
+                new.append(cents[c])
+                continue
+            n = len(groups[c])
+            new.append([(2 * sum(col) + n) // (2 * n)
+                        for col in zip(*groups[c])])
+        cents = new
+    return cents
+
+
+def test_ivf_train_matches_python_lloyd(spark):
+    vecs = _vecs(60)
+    got = ann.ivf_train(_df(spark, vecs), k=3, iters=4)
+    want = _py_train(vecs, k=3, iters=4)
+    assert got == want
+
+
+def test_ivf_train_improves_quantization(spark):
+    vecs = _vecs(90)
+    df = _df(spark, vecs)
+    seeds = [_scale(v) for _i, v in vecs[:3]]
+    trained = ann.ivf_train(df, k=3, iters=5)
+
+    def sse(cents):
+        return sum(_py_assign(_scale(v), cents)[0] for _i, v in vecs)
+
+    assert sse(trained) < sse(seeds)
+
+
+def test_ivf_assign_matches_python(spark):
+    vecs = _vecs(40)
+    cents = ann.ivf_train(_df(spark, vecs), k=3, iters=2)
+    got = {r["vec_id"]: (r["dist2"], r["centroid_id"])
+           for r in ann.ivf_assign(_df(spark, vecs), cents).collect()}
+    for i, v in vecs:
+        d2, cid = _py_assign(_scale(v), cents)
+        assert got[i] == (d2, cid)
+
+
+def test_ivf_train_requires_k_vectors(spark):
+    with pytest.raises(ValueError):
+        ann.ivf_train(_df(spark, _vecs(2)), k=3)
+
+
+def test_ann_lsh_topk_vs_python(spark):
+    vecs = _vecs(50)
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dot"])
+        for r in ann.ann_lsh_topk(_df(spark, vecs), n_queries=2, k=3,
+                                  n_planes=2).collect()
+    ]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bucket(sv, n_planes):
+        b = 0
+        for p in range(n_planes):
+            w = [(h32(f"pl{p}_{i + 1}") % 2001) - 1000 for i in range(DIM)]
+            if sum(a * ww for a, ww in zip(sv, w)) > 0:
+                b |= 1 << p
+        return b
+
+    sv = {i: _scale(v) for i, v in vecs}
+    bk = {i: bucket(sv[i], 2) for i in sv}
+    want = []
+    for q in (0, 1):
+        cand = [(sum(a * b for a, b in zip(sv[q], sv[i])), i)
+                for i in sv if i != q and bk[i] == bk[q]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (dot, i) in enumerate(cand[:3], 1):
+            want.append((q, rank, i, dot))
+    assert sorted(got) == sorted(want)

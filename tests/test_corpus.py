@@ -1,0 +1,298 @@
+"""Corpus operators (operators/corpus.py) vs independent Python oracles,
+and their lake integrations: dedup_pages (streaming/curation.py) and
+ingest-time enrichment columns (CdcPipeline(enrich=...))."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tapdata_connectors_spark.operators import corpus
+from tapdata_connectors_spark.sources.generator import GeneratorConfig, generate_events, stage_events
+from tapdata_connectors_spark.streaming import CdcPipeline, dedup_pages, find_dup_pages
+
+DOCS = [
+    (1, "the cat sat on the mat and looked at the dog"),
+    (2, "the cat sat on the mat and looked at the dog"),          # exact dup of 1
+    (3, "the cat sat on the mat and looked at a dog"),            # near dup of 1
+    (4, "der hund ist nicht und der die das haus war gross"),
+    (5, "completely different text with no overlap whatsoever here today"),
+    (6, "THE CAT SAT ON THE MAT AND LOOKED AT THE DOG"),          # case-different
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+# ---------------------------------------------------------------------------
+# python oracles
+# ---------------------------------------------------------------------------
+
+def _py_tokens(t):
+    return [w for w in re.split(r"\s+", t.lower()) if w]
+
+
+def _py_shingles(t, k=3):
+    tk = _py_tokens(t)
+    return {" ".join(tk[i:i + k]) for i in range(max(len(tk) - k + 1, 0))}
+
+
+def _py_h32(s, hexchars=8):
+    return int(hashlib.md5(s.encode()).hexdigest()[:hexchars], 16)
+
+
+def _py_minhash(t, n_perms, k=3):
+    hs = {_py_h32(s) for s in _py_shingles(t, k)}
+    return [min(_py_h32(f"{p}|{h}") for h in hs) if hs else None
+            for p in range(n_perms)]
+
+
+def test_exact_dup_losers_vs_oracle(spark):
+    got = {(r["doc_id"], r["survivor_id"])
+           for r in corpus.exact_dup_losers(_docs_df(spark)).collect()}
+    by_text: dict[str, list[int]] = {}
+    for i, t in DOCS:
+        by_text.setdefault(t, []).append(i)
+    want = {(i, min(ids)) for ids in by_text.values() for i in ids if i != min(ids)}
+    assert got == want == {(2, 1)}
+
+
+def test_shingle_minhash_vs_oracle(spark):
+    cfg = corpus.MinHashConfig(n_perms=4, rows_per_band=2)
+    rows = corpus.shingle_minhash(_docs_df(spark), cfg).collect()
+    assert len(rows) == len(DOCS)
+    for r in rows:
+        text = dict(DOCS)[r["doc_id"]]
+        assert sorted(r["sh"]) == sorted({_py_h32(s) for s in _py_shingles(text)})
+        assert r["n"] == len(_py_shingles(text))
+        mh = _py_minhash(text, 4)
+        assert [r[f"mh{p}"] for p in range(4)] == mh
+
+
+def test_near_dup_pairs_vs_oracle(spark):
+    cfg = corpus.MinHashConfig(n_perms=8, rows_per_band=2)
+    got = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"], r["is_dup"])
+           for r in corpus.near_dup_pairs(_docs_df(spark), cfg).collect()}
+    # python oracle: same LSH bucketing -> candidates -> exact jaccard
+    sigs = {i: _py_minhash(t, 8) for i, t in DOCS}
+    buckets: dict[tuple, list[int]] = {}
+    for i, mh in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, mh[2 * b], mh[2 * b + 1]), []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    cand.add((a, b))
+    want = {}
+    texts = dict(DOCS)
+    for a, b in cand:
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        inter, union = len(sa & sb), len(sa | sb)
+        want[(a, b)] = (inter, union, inter * 10 >= union * 8)
+    assert got == want
+    assert got[(1, 2)][2] is True          # exact dup found
+    assert (1, 6) in got and got[(1, 6)][2]  # case-folded dup found
+    assert (1, 5) not in got               # unrelated docs never candidates
+
+
+def test_minhash_config_knobs(spark):
+    # more permutations -> more/equal candidate pairs (recall knob)
+    few = corpus.lsh_candidate_pairs(
+        corpus.shingle_minhash(_docs_df(spark), corpus.MinHashConfig(n_perms=2)),
+        corpus.MinHashConfig(n_perms=2),
+    ).count()
+    many = corpus.lsh_candidate_pairs(
+        corpus.shingle_minhash(_docs_df(spark), corpus.MinHashConfig(n_perms=16)),
+        corpus.MinHashConfig(n_perms=16),
+    ).count()
+    assert many >= few
+    with pytest.raises(ValueError):
+        corpus.MinHashConfig(n_perms=7, rows_per_band=2).bands
+
+
+def test_simhash_width_and_oracle(spark):
+    rows = {r["doc_id"]: r["simhash"]
+            for r in corpus.simhash(_docs_df(spark), bits=60).collect()}
+    for i, t in DOCS:
+        w = [0] * 60
+        for tok in _py_tokens(t):
+            h = _py_h32(tok, 15)
+            for b in range(60):
+                w[b] += 1 if (h >> b) & 1 else -1
+        want = sum(1 << b for b in range(60) if w[b] > 0)
+        assert rows[i] == want
+    # identical texts -> identical simhash; near-dups -> small hamming
+    assert rows[1] == rows[2] == rows[6]
+    ham = bin(rows[1] ^ rows[3]).count("1")
+    assert ham <= 20, f"near-dup hamming {ham} too large"
+    with pytest.raises(ValueError):
+        corpus.simhash(_docs_df(spark), bits=64)
+
+
+def test_lang_id_col_matches_lang_scores(spark):
+    d = _docs_df(spark)
+    via_scores = {r["doc_id"]: r["pred_lang"] for r in corpus.lang_scores(d).collect()}
+    via_col = {r["doc_id"]: r["p"]
+               for r in d.select("doc_id", corpus.lang_id_col(F.col("text")).alias("p")).collect()}
+    assert via_scores == via_col
+    assert via_scores[1] == "en" and via_scores[4] == "de" and via_scores[5] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello   World"), Row(doc_id=2, text="hello world"),
+         Row(doc_id=3, text="hello\tworld"), Row(doc_id=4, text="different")]
+    )
+    fp = {r["doc_id"]: r["f"]
+          for r in d.select("doc_id", corpus.fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[2] == fp[3] != fp[4]
+    assert fp[1] == hashlib.md5(b"hello world").hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# lake integration: dedup_pages
+# ---------------------------------------------------------------------------
+
+def _page(url, html):
+    return Row(url=url, warc_ts=None, html=html.encode(), lang="en")
+
+
+def _bootstrap_pipe(spark, tmpdir_, pages, **kw):
+    import datetime
+
+    rows = [Row(url=u, warc_ts=datetime.datetime(2026, 1, 1, 0, 0, i),
+                html=h.encode(), lang="en")
+            for i, (u, h) in enumerate(pages)]
+    df = spark.createDataFrame(rows)
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=4, **kw)
+    pipe.bootstrap_snapshot(df)
+    return pipe
+
+# text_extract strips tags/whitespace, so identical body text => dup
+_H = "<html><body>{}</body></html>"
+PAGES = [
+    ("u/a", _H.format("same content here")),
+    ("u/b", _H.format("same content here")),      # dup of u/a
+    ("u/c", _H.format("other content")),
+    ("u/d", _H.format("  same   content here ")),  # extraction normalizes ws -> dup
+]
+
+
+def test_dedup_pages_exact(spark, tmpdir_):
+    pipe = _bootstrap_pipe(spark, tmpdir_, PAGES)
+    rep = dedup_pages(pipe, "exact", tag="t1")
+    assert rep["n_losers"] >= 1
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    # python oracle over the table's own extracted text
+    texts = {r["url"]: r["text"]
+             for r in pipe.table.read_raw().select("url", "text").collect()}
+    by_text: dict[str, list[str]] = {}
+    for u, t in texts.items():
+        by_text.setdefault(t, []).append(u)
+    want = {min(us) for us in by_text.values()}
+    assert left == want
+    assert "u/b" not in left and "u/a" in left
+    # idempotent per tag
+    assert dedup_pages(pipe, "exact", tag="t1").get("skipped") is True
+    # lineage rows written under the curation epoch
+    from tapdata_connectors_spark.streaming.curation import CURATION_EPOCH
+    lin = pipe.lineage().filter(F.col("epoch") == CURATION_EPOCH)
+    assert lin.agg(F.sum("n_delete")).collect()[0][0] == rep["n_losers"]
+
+
+def test_dedup_pages_resurrection_after_new_event(spark, tmpdir_):
+    """A tombstoned loser keeps its stored (ts, seq): a genuinely NEWER
+    insert re-creates the page (LWW by source order survives curation),
+    while a redelivered OLD event stays stale — exactly-once holds through
+    a curation commit."""
+    import datetime
+
+    from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+
+    pipe = _bootstrap_pipe(spark, tmpdir_, PAGES)
+    dedup_pages(pipe, "exact", tag="t1")
+    assert "u/b" not in {r["url"] for r in pipe.table.read().select("url").collect()}
+
+    def ins(seq, epoch, ts, body):
+        return Row(event_seq=seq, epoch=epoch, op="I", url="u/b", warc_ts=ts,
+                   before=None,
+                   after=Row(url="u/b", warc_ts=ts,
+                             html=_H.format(body).encode(), lang="en"),
+                   removed_fields=None, extras=None, ddl=None,
+                   exactly_once_id=f"x{seq}", ts_ms=None)
+
+    ev = spark.createDataFrame([
+        # epoch 0: redelivery predating the bootstrap row -> stale, dropped
+        ins(50, 0, datetime.datetime(2020, 1, 1), "stale redelivery"),
+        # epoch 1: genuinely new crawl -> resurrects the page
+        ins(100, 1, datetime.datetime(2027, 1, 1), "fresh recrawl"),
+    ], schema=EVENTS_SCHEMA)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+    rows = {r["url"]: r["text"] for r in pipe.table.read().select("url", "text").collect()}
+    assert rows.get("u/b") == "fresh recrawl"
+
+
+def test_dedup_pages_minhash_dry_run(spark, tmpdir_):
+    pages = PAGES + [("u/e", _H.format("same content here today friends"))]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    losers = find_dup_pages(pipe, "minhash",
+                            corpus.MinHashConfig(n_perms=8, rows_per_band=2))
+    got = {(r["url"], r["survivor_id"]) for r in losers.collect()}
+    # exact dup u/b; ws-variant u/d has identical shingle set -> jaccard 1
+    assert ("u/b", "u/a") in got
+    assert ("u/d", "u/a") in got
+    rep = dedup_pages(pipe, "minhash", tag="dry", dry_run=True)
+    assert rep["dry_run"] and rep["n_losers"] == len(got)
+    # dry run committed nothing
+    assert pipe.table.read().count() == len(pages)
+
+
+# ---------------------------------------------------------------------------
+# lake integration: ingest-time enrichment (chained DerivedSpecs)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_enrichment_columns_end_to_end(spark, tmpdir_, mode):
+    cfg = GeneratorConfig(n_events=600, n_urls=80, epoch_size=200,
+                          p_update=0.4, p_delete=0.1)
+    ev = generate_events(spark, cfg)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=4, merge_mode=mode,
+                       enrich=["fingerprint", "pred_lang"])
+    pipe.replay_batch()
+    if mode == "mor":
+        pipe.table.compact()
+    final = pipe.table.read()
+    assert {"fingerprint", "pred_lang"} <= set(final.columns)
+    # stored enrichment == recomputing from the stored text, every row
+    bad = final.filter(
+        (F.col("fingerprint") != corpus.fingerprint(F.col("text")))
+        | (F.col("pred_lang") != corpus.lang_id_col(F.col("text")))
+        | (F.col("text").isNotNull() & F.col("fingerprint").isNull())
+    ).count()
+    assert bad == 0
+    assert final.filter(F.col("fingerprint").isNotNull()).count() > 0
+    # enrichment cols never entered the fold payload
+    assert {"fingerprint", "pred_lang"}.isdisjoint(
+        {c.name for c in pipe.payload_specs()}
+    )
+
+
+def test_enrichment_bootstrap(spark, tmpdir_):
+    pipe = _bootstrap_pipe(spark, tmpdir_, PAGES,
+                           enrich=["fingerprint", "pred_lang"])
+    final = pipe.table.read()
+    bad = final.filter(
+        F.col("fingerprint") != corpus.fingerprint(F.col("text"))
+    ).count()
+    assert bad == 0
