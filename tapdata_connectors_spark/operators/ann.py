@@ -95,6 +95,40 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 3, k: int = 5,
     )
 
 
+def cosine_near_dup(df: DataFrame, threshold_x1e6: int = 300_000,
+                    n_planes: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path): candidates are restricted to vectors sharing the hyperplane
+    bucket (each vector lives in exactly ONE bucket — the self-join on
+    `bucket` emits each pair at most once, unlike banded MinHash), then
+    verified with the exact cosine. Work ∝ bucket sizes, never all-pairs.
+
+    Determinism: dot and norms are exact longs (≤ dim·1e12 « 2^53); the
+    cosine is the IEEE-double expression dot / (sqrt(na)·sqrt(nb)) —
+    norms are NOT multiplied as longs (na·nb overflows int64 at dim 64)
+    — floored at ×1e6, so any engine computes bit-identical values.
+    """
+    base = (
+        df.select(F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+        .withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"), "bucket")
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = int_dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.withColumn("cos_x1e6", F.floor(cos * 1000000.0).cast("long"))
+        .filter(F.col("cos_x1e6") >= threshold_x1e6)
+        .select("vec_a", "vec_b", "cos_x1e6")
+    )
+
+
 def _centroid_lit(centroids: list[list[int]]) -> Column:
     """centroids as a literal array<struct<cid,cv>> — broadcast by value,
     the corpus never shuffles for an assignment."""

@@ -799,6 +799,133 @@ WHERE rank <= 5
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.30, ×1e6
+    integer-reported): LSH-bucketed candidates (4 hyperplanes; each vector
+    lives in exactly one bucket) verified with the exact IEEE-double
+    cosine over exact integer dot/norms. Engine op:
+    operators/ann.cosine_near_dup — the embedding analog of the
+    MinHash+Jaccard two-phase near-dup."""
+    from tapdata_connectors_spark.operators import ann
+
+    return ann.cosine_near_dup(_t(spark, sf_dir, "embeddings"),
+                               threshold_x1e6=300_000, n_planes=4)
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), planes AS (
+  SELECT vec_id, v, unnest(range(0,4)) AS p FROM scaled
+), dots AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(v)+1),
+           i -> v[i] * ((('0x' || substr(md5('pl' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)
+         )) > 0 AS bit
+  FROM planes
+), bkt AS (
+  SELECT vec_id, CAST(sum(CASE WHEN bit THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), normed AS (
+  SELECT b.vec_id, b.bucket, s.v,
+         list_sum(list_transform(s.v, x -> x * x)) AS nrm
+  FROM bkt b JOIN scaled s USING (vec_id)
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST(floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS cos_x1e6
+FROM pairs
+WHERE floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) >= 300000
+"""
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image pipeline over opaque binary columns: each
+    document's utf-8 bytes are packed as a FIMG grayscale blob
+    (width = 1 + doc_id % 63, zero-padded final row) in one mapInPandas
+    encode stage, then decoded back to typed metadata by the
+    functions/multimodal.image_meta operator (a second mapInPandas).
+    Both stages are map-only Arrow-batched pandas — the real-format
+    (JPEG/PNG) decode would replace decode_fimg's dispatch, the Spark
+    plumbing is identical."""
+    import pandas as pd
+
+    from tapdata_connectors_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = [
+                (int(i), mm.encode_fimg(t.encode("utf-8"), 1 + int(i) % 63))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["id", "img"])
+
+    imgs = docs.mapInPandas(enc, "id long, img binary")
+    return mm.image_meta(imgs).select(
+        F.col("id").alias("doc_id"), "width", "height", "n_pixels", "sum_px"
+    )
+
+
+SQL_MULTIMODAL_IMAGE_META = """
+WITH b AS (
+  SELECT doc_id, strlen(text) AS nb,
+         CAST(1 + doc_id % 63 AS INTEGER) AS width,
+         list_sum(list_transform(range(1, len(text) + 1),
+                                 i -> ascii(substr(text, i, 1)))) AS sum_px
+  FROM documents
+)
+SELECT doc_id, width,
+       CAST(greatest(1, CAST(ceil(CAST(nb AS DOUBLE) / width) AS BIGINT)) AS INTEGER) AS height,
+       CAST(width * greatest(1, CAST(ceil(CAST(nb AS DOUBLE) / width) AS BIGINT)) AS BIGINT) AS n_pixels,
+       CAST(coalesce(sum_px, 0) AS BIGINT) AS sum_px
+FROM b
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: document bytes packed as FVID blobs
+    (16-byte frames, tail dropped), then every 4th frame emitted as its
+    own row by functions/multimodal.sample_frames — the one-to-many
+    mapInPandas batch shape (fan-out inside the task, no exploded
+    shuffle)."""
+    import pandas as pd
+
+    from tapdata_connectors_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = t.encode("utf-8")
+                frames = [tb[j * 16:(j + 1) * 16] for j in range(len(tb) // 16)]
+                rows.append((int(i), mm.encode_fvid(frames)))
+            yield pd.DataFrame(rows, columns=["id", "video"])
+
+    vids = docs.mapInPandas(enc, "id long, video binary")
+    return mm.sample_frames(vids, stride=4).select(
+        F.col("id").alias("doc_id"), "frame_idx", "frame_md5"
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       md5(substr(text, CAST(f AS INTEGER) * 16 + 1, 16)) AS frame_md5
+FROM (SELECT doc_id, text, unnest(range(0, strlen(text) // 16)) AS f
+      FROM documents)
+WHERE f % 4 = 0
+"""
+
+
 def q_resume_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timestampToStreamOffset analog (MysqlConnector.java:760-771,
     MysqlBinlogPositionUtil.findByLessTimestamp): map a wall-clock restart
@@ -893,6 +1020,9 @@ QUERIES.update({
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_ivf_assign": q_embedding_ivf_assign,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "resume_from_timestamp": q_resume_from_timestamp,
     "table_stats": q_table_stats,
 })
@@ -905,6 +1035,9 @@ ORACLE_SQL.update({
     "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
     "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,
     "table_stats": SQL_TABLE_STATS,
 })

@@ -127,3 +127,40 @@ def test_ann_lsh_topk_vs_python(spark):
         for rank, (dot, i) in enumerate(cand[:3], 1):
             want.append((q, rank, i, dot))
     assert sorted(got) == sorted(want)
+
+
+def test_cosine_near_dup_vs_python(spark):
+    import math
+
+    vecs = _vecs(50)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_x1e6"]
+        for r in ann.cosine_near_dup(_df(spark, vecs), threshold_x1e6=500_000,
+                                     n_planes=2).collect()
+    }
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bucket(sv, n_planes):
+        b = 0
+        for p in range(n_planes):
+            w = [(h32(f"pl{p}_{i + 1}") % 2001) - 1000 for i in range(DIM)]
+            if sum(a * ww for a, ww in zip(sv, w)) > 0:
+                b |= 1 << p
+        return b
+
+    sv = {i: _scale(v) for i, v in vecs}
+    bk = {i: bucket(sv[i], 2) for i in sv}
+    want = {}
+    for a in sv:
+        for b in sv:
+            if a < b and bk[a] == bk[b]:
+                dot = sum(x * y for x, y in zip(sv[a], sv[b]))
+                na = sum(x * x for x in sv[a])
+                nb = sum(x * x for x in sv[b])
+                c = math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0)
+                if c >= 500_000:
+                    want[(a, b)] = c
+    assert want  # clustered fixture must yield near-dup pairs
+    assert got == want
