@@ -67,7 +67,7 @@ def events():
     return spark.read.schema(EVENTS_SCHEMA).parquet(staging)
 
 # warm the JVM/codegen/scheduler so stage time measures the stage, not startup
-spark.range(2_000_000).select(F.sum(F.xxhash64("id"))).collect()
+spark.range(2_000_000).select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1000000)))).collect()
 events().limit(1000).agg(F.count(F.lit(1))).collect()
 
 t0 = time.time()

@@ -37,13 +37,18 @@ def append_delta(
     deduped: DataFrame,
     payload: list[ColumnSpec],
     derived: list[DerivedSpec] | None = None,
-    epoch_key: str | None = None,
+    epoch_key: str | list[str] | None = None,
     b_rows: int | None = None,
 ) -> dict:
     """Append one deduped micro-batch (lww_fold output, with `_mb` bucket
-    column) as delta files. Idempotent per epoch_key."""
-    if epoch_key is not None and table.epoch_applied(epoch_key):
-        return {"skipped": True, "version": table.current_version()}
+    column) as delta files. Idempotent per epoch_key; a LIST of keys (a
+    batched epoch-chunk) commits atomically — the guard skips when every
+    member is applied (the commit records all keys in one manifest, so
+    partial application is impossible)."""
+    if epoch_key is not None:
+        keys = epoch_key if isinstance(epoch_key, list) else [epoch_key]
+        if all(table.epoch_applied(k) for k in keys):
+            return {"skipped": True, "version": table.current_version()}
 
     m = table.manifest()
     ids = {f.name: f.id for f in m.fields}

@@ -656,7 +656,7 @@ class LakeTable:
         self,
         new_entries: list[dict],
         replaced_buckets: set[int] | None = None,
-        epoch_key: str | None = None,
+        epoch_key: str | list[str] | None = None,
         epoch_hash: str = "",
         summary: dict | None = None,
         replaced_paths: set[str] | None = None,
@@ -664,7 +664,9 @@ class LakeTable:
         """Commit a snapshot: keep files outside replaced_buckets (COW) or
         not in replaced_paths (compaction — path-precise so a concurrently
         appended delta can never be dropped), add new entries, optionally
-        record an applied epoch. Atomic under the per-table commit lock."""
+        record one or more applied epochs (a LIST records every member of a
+        batched epoch-chunk atomically — all-or-nothing with the files).
+        Atomic under the per-table commit lock."""
         with self._lock:
             m = self.manifest()
             keep = list(m.files)
@@ -674,7 +676,9 @@ class LakeTable:
                 keep = [f for f in keep if f["path"] not in replaced_paths]
             m.files = keep + new_entries
             if epoch_key is not None:
-                m.applied_epochs[epoch_key] = epoch_hash
+                keys = epoch_key if isinstance(epoch_key, list) else [epoch_key]
+                for k in keys:
+                    m.applied_epochs[k] = epoch_hash
             m.version += 1
             m.parent = m.version - 1
             m.summary = {**(summary or {}), "ts_ms": int(time.time() * 1000)}

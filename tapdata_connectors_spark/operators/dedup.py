@@ -191,6 +191,7 @@ def lww_fold(
     payload: list[ColumnSpec],
     key: str = "url",
     seq_is_lww_order: bool = True,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """Two-phase fold: hash-aggregated winners + sort-free payload fetch.
 
@@ -219,6 +220,18 @@ def lww_fold(
     contract (operators/ordering.py validates it for external changelogs);
     the fold then delegates to the (ts, seq)-ordered single-aggregation
     path, which is exact for arbitrary timestamp/position relationships.
+
+    `broadcast_winners=True` replaces phase B's shuffled-hash joins with
+    map-side broadcast joins: the skinny winner frame (keys + winning
+    seqs, no payload bytes) broadcasts to the event scan, so the jumbo
+    binary column's bytes cross ZERO exchanges inside the fold (they next
+    move in the bucket-aligned write repartition — one exchange
+    end-to-end instead of two). Use when keys-per-batch fits the driver
+    (the same regime as lake/merge.py's bytes-based broadcast dispatch);
+    the default shuffle path is the 10^10-events-per-trigger shape.
+    Requires at most one binary payload column (the stream side of the
+    final right-outer join); otherwise phase B falls back to the shuffle
+    joins.
     """
     if not seq_is_lww_order:
         return lww_fold_singleagg(events, payload, key=key)
@@ -266,23 +279,66 @@ def lww_fold(
             F.col("_del_seq").isNull() | (w >= F.col("_del_seq"))
         )
 
-    # phase B: one left join per variable-width column, matching exactly
-    # the winning event row (identical duplicate deliveries may multiply
-    # rows; a final per-key dropDuplicates collapses the identical copies)
+    # phase B: fetch each variable-width column's winning value, matching
+    # exactly the winning event row (identical duplicate deliveries may
+    # multiply rows; a final per-key dropDuplicates collapses the copies)
     out = winners
-    for c in heavy:
-        is_set, val = event_col_exprs(c)
-        vals = events.filter(is_set).select(
-            F.col(key).alias(f"_k_{c.name}"),
-            F.col("event_seq").alias(f"_s_{c.name}"),
-            val.alias(f"_v_{c.name}"),
-        )
-        out = out.join(
-            vals.hint("shuffle_hash"),
-            (F.col(key) == F.col(f"_k_{c.name}"))
-            & (F.col(f"_s_{c.name}") == F.when(live[c.name], F.col(f"_w_{c.name}"))),
-            "left",
-        ).drop(f"_k_{c.name}", f"_s_{c.name}")
+    jumbo = [c for c in heavy if c.type.lower() == "binary"]
+    if broadcast_winners and len(jumbo) <= 1:
+        # small-side broadcast plan: no payload bytes cross any exchange
+        # inside the fold. Non-binary varlen columns (short strings) fetch
+        # via an inner broadcast join whose RESULT is skinny and itself
+        # broadcast back onto the winner frame; the single binary column
+        # streams through a right-outer join against the broadcast winner
+        # frame, so its bytes stay in the scan tasks.
+        for c in heavy:
+            if c in jumbo:
+                continue
+            is_set, val = event_col_exprs(c)
+            wkeys = winners.select(
+                F.col(key).alias(f"_k_{c.name}"),
+                F.when(live[c.name], F.col(f"_w_{c.name}")).alias(f"_ws_{c.name}"),
+            )
+            matched = (
+                events.filter(is_set)
+                .join(
+                    F.broadcast(wkeys),
+                    (F.col(key) == F.col(f"_k_{c.name}"))
+                    & (F.col("event_seq") == F.col(f"_ws_{c.name}")),
+                )
+                .select(F.col(f"_k_{c.name}"), val.alias(f"_v_{c.name}"))
+            )
+            out = out.join(
+                F.broadcast(matched), F.col(key) == F.col(f"_k_{c.name}"), "left"
+            ).drop(f"_k_{c.name}", f"_ws_{c.name}")
+        if jumbo:
+            c = jumbo[0]
+            is_set, val = event_col_exprs(c)
+            stream = events.filter(is_set).select(
+                F.col(key).alias(f"_k_{c.name}"),
+                F.col("event_seq").alias(f"_s_{c.name}"),
+                val.alias(f"_v_{c.name}"),
+            )
+            out = stream.join(
+                F.broadcast(out),
+                (F.col(key) == F.col(f"_k_{c.name}"))
+                & (F.col(f"_s_{c.name}") == F.when(live[c.name], F.col(f"_w_{c.name}"))),
+                "right_outer",
+            ).drop(f"_k_{c.name}", f"_s_{c.name}")
+    else:
+        for c in heavy:
+            is_set, val = event_col_exprs(c)
+            vals = events.filter(is_set).select(
+                F.col(key).alias(f"_k_{c.name}"),
+                F.col("event_seq").alias(f"_s_{c.name}"),
+                val.alias(f"_v_{c.name}"),
+            )
+            out = out.join(
+                vals.hint("shuffle_hash"),
+                (F.col(key) == F.col(f"_k_{c.name}"))
+                & (F.col(f"_s_{c.name}") == F.when(live[c.name], F.col(f"_w_{c.name}"))),
+                "left",
+            ).drop(f"_k_{c.name}", f"_s_{c.name}")
 
     sel: list[F.Column] = [
         F.col(key),

@@ -85,6 +85,7 @@ class CdcPipeline:
         compact_every: int = 8,
         seq_is_lww_order: bool = True,
         enrich: list[str] | None = None,
+        fold_broadcast: bool = False,
     ):
         """merge_mode:
         'cow'  — copy-on-write MERGE per epoch (lake/merge.py): epoch cost ∝
@@ -99,6 +100,13 @@ class CdcPipeline:
         (binlog-shaped sources; the generator guarantees it; external
         adapters validate it). False switches fold + MOR resolution to the
         exact (ts, seq)-ordered single-aggregation paths.
+
+        fold_broadcast: phase B of the fold fetches payload values via
+        map-side broadcast joins instead of shuffled-hash joins (payload
+        bytes cross one exchange per epoch instead of two — see
+        operators/dedup.lww_fold). Enable when distinct keys per
+        trigger fit driver memory; default False (the 10^10-scale
+        shuffle path).
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError(merge_mode)
@@ -125,6 +133,7 @@ class CdcPipeline:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.seq_is_lww_order = seq_is_lww_order
+        self.fold_broadcast = fold_broadcast
         # ingest-time enrichment: extra string columns derived from the
         # extracted text (ENRICHMENTS registry). Must be passed identically
         # when re-attaching to an existing enriched table — field ids are
@@ -269,6 +278,36 @@ class CdcPipeline:
         )
         return metrics_all
 
+    def apply_epoch_chunk(self, epochs: list[int]) -> list[dict]:
+        """Apply a run of DDL-free epochs as ONE Spark job (MOR + default
+        policy only). The LWW fold is associative across epoch boundaries —
+        fold(union of k epochs) equals k sequential per-epoch applies (the
+        replay-equality contract the scenario tests assert against the
+        sequential oracle) — so a chunk pays the per-job fixed costs
+        (Catalyst analysis of the fold plan, job scheduling, manifest
+        commit, lineage buffering) ONCE instead of k times. At 10^10-event
+        scale this is the trigger-batch shape: one Spark job per trigger,
+        however many source epochs the trigger covers (the reference's
+        TapEventCollector batches uploads the same way).
+
+        Idempotence: every member epoch's guard key rides the single
+        atomic manifest commit (all-or-nothing with the data files);
+        members already applied by an earlier per-epoch or chunked run are
+        filtered out before the read, so mixed resumes are safe."""
+        if self.merge_mode != "mor" or self.policy != DEFAULT_POLICY:
+            raise ValueError("apply_epoch_chunk requires merge_mode='mor' "
+                             "and the default write policy")
+        self.init_table()
+        todo = [e for e in epochs if not self.table.epoch_applied(f"e{e}:s0")]
+        if not todo:
+            return [{"skipped": True, "epoch_key": f"e{e}:s0"} for e in epochs]
+        paths = [os.path.join(self.staging_path, f"epoch={e}") for e in todo]
+        df = self.spark.read.schema(EVENTS_SCHEMA).parquet(*paths)
+        sl = normalize_events(df.filter(F.col("op") != "DDL"))
+        keys = [f"e{e}:s0" for e in todo]
+        return [self._apply_slice_mor(sl, todo[0], 0, keys, self.payload_specs(),
+                                      time.time())]
+
     def _bucket_or_null_sentinel(self) -> F.Column:
         """Merge-bucket id, with null-PK rows diverted to sentinel bucket -2
         (xxhash64(null) is the SEED, so nulls would otherwise silently land
@@ -341,7 +380,8 @@ class CdcPipeline:
             return self._apply_slice_mor(sl, epoch, slice_no, epoch_key, payload, t0)
 
         deduped = (
-            lww_fold(sl, payload, key="url", seq_is_lww_order=self.seq_is_lww_order)
+            lww_fold(sl, payload, key="url", seq_is_lww_order=self.seq_is_lww_order,
+                     broadcast_winners=self.fold_broadcast)
             # null-PK rows group under the sentinel bucket -2: counted in
             # lineage (partition_id -2), never merged
             # (NormalWriteRecorder.java:210-226 skips-and-warns)
@@ -408,9 +448,9 @@ class CdcPipeline:
 
         from tapdata_connectors_spark.lake.delta import append_delta
 
-        deduped = lww_fold(sl, payload, key="url").withColumn(
-            "_mb", self._bucket_or_null_sentinel()
-        )
+        deduped = lww_fold(
+            sl, payload, key="url", broadcast_winners=self.fold_broadcast
+        ).withColumn("_mb", self._bucket_or_null_sentinel())
         obs = Observation()
         ok = F.col("url").isNotNull()  # null-PK keys are counted, never written
 
@@ -553,7 +593,8 @@ class CdcPipeline:
         return self.spark.read.parquet(self.lineage_path)
 
     # ------------------------------------------------------------------
-    def replay_batch(self, max_concurrent_epochs: int = 1) -> list[dict]:
+    def replay_batch(self, max_concurrent_epochs: int = 1,
+                     epoch_batch: int | None = None) -> list[dict]:
         """Batch-mode replay of the whole staging area in epoch order.
         Idempotent: already-applied (epoch, slice) pairs are skipped, so a
         crashed replay just re-runs (fixture F11 without the streaming
@@ -565,7 +606,12 @@ class CdcPipeline:
         the manifest commit is locked), so overlapping epochs hides each
         epoch's serial driver phases behind another epoch's executor work —
         the local-mode stand-in for a busy multi-tenant scheduler.
-        DDL-bearing epochs are barriers and apply alone, in order."""
+        DDL-bearing epochs are barriers and apply alone, in order.
+
+        epoch_batch (MOR + default policy; takes precedence): DDL-free
+        runs apply as CHUNKS of up to `epoch_batch` epochs, each chunk one
+        Spark job (apply_epoch_chunk) — the lowest-overhead replay shape:
+        per-job fixed costs are paid per chunk, not per epoch."""
         epochs: list[tuple[int, bool | None]] = []
         mdir = os.path.join(self.staging_path, "_epochs")
         if os.path.isdir(mdir):
@@ -583,6 +629,36 @@ class CdcPipeline:
         if self._start_epoch is not None:
             epochs = [(e, d) for e, d in epochs if e >= self._start_epoch]
         out: list[dict] = []
+        if (
+            epoch_batch and self.merge_mode == "mor"
+            and self.policy == DEFAULT_POLICY
+        ):
+            self._defer_compact = True
+            try:
+                run_eps: list[int] = []
+
+                def flush_chunks():
+                    nonlocal run_eps
+                    for i in range(0, len(run_eps), epoch_batch):
+                        out.extend(self.apply_epoch_chunk(run_eps[i:i + epoch_batch]))
+                        self._maybe_compact()
+                    run_eps = []
+
+                for e, has_ddl in epochs:
+                    if has_ddl is False:
+                        run_eps.append(e)
+                    else:  # DDL (or unknown-content) epochs are barriers
+                        flush_chunks()
+                        df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
+                            os.path.join(self.staging_path, f"epoch={e}")
+                        )
+                        out.extend(self.apply_epoch(df, e, has_ddl=has_ddl))
+                        self._maybe_compact()
+                flush_chunks()
+            finally:
+                self._defer_compact = False
+            self.flush_lineage()
+            return out
         parallel = (
             max_concurrent_epochs > 1 and self.merge_mode == "mor"
             and self.policy == DEFAULT_POLICY

@@ -152,3 +152,36 @@ def test_multiple_keys_independent(spark):
     ])
     assert out["u1"]["_final_op"] == "I"
     assert out["u2"]["_final_op"] == "D"
+
+
+def test_broadcast_fold_equals_shuffle_fold(spark):
+    """broadcast_winners=True (map-side phase B) must produce byte-identical
+    fold output to the default shuffled-hash phase B on a fixture covering
+    inserts, partial updates, removed_fields, deletes, reinserts, dup
+    deliveries and a final-delete key."""
+    rows = [
+        ev(1, "I", "a", html=b"<a1>", lang="en"),
+        ev(2, "U", "a", lang="de"),
+        ev(3, "I", "b", html=b"<b1>", lang="fr"),
+        ev(4, "D", "b"),
+        ev(5, "I", "b", html=b"<b2>"),
+        ev(6, "I", "c", html=b"<c1>", lang="es"),
+        ev(6, "I", "c", html=b"<c1>", lang="es"),  # duplicate delivery
+        ev(7, "U", "c", removed=["lang"]),
+        ev(8, "I", "d", html=b"<d1>", lang="en"),
+        ev(9, "D", "d"),  # final delete
+        ev(10, "U", "a", html=b"<a2>"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    cols = sorted(lww_fold(df, PAYLOAD).columns)
+    a = {r["url"]: tuple(r[c] for c in cols)
+         for r in lww_fold(df, PAYLOAD).collect()}
+    b = {r["url"]: tuple(r[c] for c in cols)
+         for r in lww_fold(df, PAYLOAD, broadcast_winners=True).collect()}
+    assert a == b
+    # plan shape: phase B carries no shuffled join of payload values
+    plan = lww_fold(df, PAYLOAD, broadcast_winners=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
