@@ -31,6 +31,31 @@ def _null(col: str) -> F.Column:
     return F.lit(None).cast(EVENTS_SCHEMA[col].dataType)
 
 
+def drop_loopback_events(df: DataFrame, pipeline_id: str,
+                         tag_key: str = "_origin") -> DataFrame:
+    """Double-active (bidirectional sync) loop filter: drop events whose
+    origin tag equals this pipeline's own id — i.e. rows this pipeline
+    wrote that a bidirectional peer reflected back. The reference tags
+    records with a double-active marker field and filters them on the
+    return path (connectors-common double-active handling in the write
+    recorders); here the tag rides the `extras` map. Map-only; events
+    with no tag (unidirectional sources) pass through untouched."""
+    tag = F.element_at(F.col("extras"), tag_key)
+    return df.filter(tag.isNull() | (tag != F.lit(pipeline_id)))
+
+
+def tag_origin(df: DataFrame, pipeline_id: str,
+               tag_key: str = "_origin") -> DataFrame:
+    """Stamp outgoing events with this pipeline's origin id (the write
+    half of the double-active protocol — what a bidirectional peer's
+    drop_loopback_events will filter)."""
+    tagged = F.map_concat(
+        F.coalesce(F.col("extras"), F.create_map().cast(EVENTS_SCHEMA["extras"].dataType)),
+        F.create_map(F.lit(tag_key), F.lit(pipeline_id)),
+    )
+    return df.withColumn("extras", tagged)
+
+
 def normalize_events(dml: DataFrame) -> DataFrame:
     """Resolve the effective PK and split key-changing updates into
     delete(old)+insert(new) pairs. Input/output: EVENTS_SCHEMA DML rows

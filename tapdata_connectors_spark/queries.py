@@ -269,6 +269,70 @@ FROM orders GROUP BY 1
 """
 
 
+def q_snapshot_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-range chunked scan (readPartition ranges): equal-depth range
+    boundaries over the primary key via NTILE — each chunk is a
+    `WHERE pk > lo AND pk <= hi` resumable scan unit
+    (DatabaseReadPartitionSplitter.java:120-180 splitByRange;
+    TapPartition lower/upper bounds). 8 chunks; per-chunk bounds + count.
+    Scale shape: one window over pre-sorted keys — at real scale the
+    splitter samples instead, but the emitted chunk contract (half-open
+    PK ranges covering the table) is identical."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    w = W.orderBy("o_orderkey")
+    return (
+        o.withColumn("chunk", F.ntile(8).over(w))
+        .groupBy("chunk")
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_SNAPSHOT_PK_RANGES = """
+SELECT chunk, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+       count(*) AS n_rows
+FROM (SELECT o_orderkey, ntile(8) OVER (ORDER BY o_orderkey) AS chunk
+      FROM orders)
+GROUP BY chunk
+"""
+
+
+def q_snapshot_with_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-with-offset resumable scan (batchReadWithOffset /
+    readWithOffset): resume the ordered full-table scan AFTER a saved PK
+    offset, take the next page, report the new offset — the
+    `WHERE pk > :offset ORDER BY pk LIMIT n` contract
+    (CommonDbConnector.java:579-606 order-by-PK batch read + offset
+    state). Offset = 1000, page = 200. Pushdown shape: the predicate
+    reaches the parquet scan; the sort-limit is a TakeOrdered, never a
+    full sort."""
+    o = _t(spark, sf_dir, "orders")
+    page = (
+        o.filter(F.col("o_orderkey") > 1000)
+        .orderBy("o_orderkey")
+        .limit(200)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    return page.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("next_offset"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+    )
+
+
+SQL_SNAPSHOT_WITH_OFFSET = """
+SELECT count(*) AS n_rows, min(o_orderkey) AS first_key,
+       max(o_orderkey) AS next_offset,
+       count(DISTINCT o_custkey) AS n_custs
+FROM (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 200)
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive whole-table verification hash — the reference's
     source/target comparison checksum
@@ -981,6 +1045,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_delete_enrichment": q_delete_enrichment,
     "snapshot_split_stats": q_snapshot_split_stats,
     "snapshot_hash_split": q_snapshot_hash_split,
+    "snapshot_pk_ranges": q_snapshot_pk_ranges,
+    "snapshot_with_offset": q_snapshot_with_offset,
     "table_checksum": q_table_checksum,
     "query_by_filter": q_query_by_filter,
     "rownum_pagination": q_rownum_pagination,
@@ -1001,6 +1067,8 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_delete_enrichment": SQL_DELETE_ENRICHMENT,
     "snapshot_split_stats": SQL_SNAPSHOT_SPLIT_STATS,
     "snapshot_hash_split": SQL_SNAPSHOT_HASH_SPLIT,
+    "snapshot_pk_ranges": SQL_SNAPSHOT_PK_RANGES,
+    "snapshot_with_offset": SQL_SNAPSHOT_WITH_OFFSET,
     "table_checksum": SQL_TABLE_CHECKSUM,
     "query_by_filter": SQL_QUERY_BY_FILTER,
     "rownum_pagination": SQL_ROWNUM_PAGINATION,

@@ -745,6 +745,7 @@ class CdcPipeline:
         checkpoint_path: str,
         max_epochs_per_trigger: int | None = None,
         available_now: bool = True,
+        epoch_batch: int | None = None,
     ):
         """Structured-Streaming replay over the staging area's EPOCH MARKER
         stream (see sources.generator.stage_events): each marker names one
@@ -764,6 +765,11 @@ class CdcPipeline:
             reader = reader.option("maxFilesPerTrigger", max_epochs_per_trigger)
         stream = reader.text(os.path.join(self.staging_path, "_epochs"))
 
+        chunked = (
+            epoch_batch and self.merge_mode == "mor"
+            and self.policy == DEFAULT_POLICY
+        )
+
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             eps = sorted(
                 (int(r["value"].split()[0]), "ddl" in r["value"])
@@ -772,11 +778,35 @@ class CdcPipeline:
             )
             if self._start_epoch is not None:
                 eps = [(e, d) for e, d in eps if e >= self._start_epoch]
-            for e, has_ddl in eps:
-                df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
-                    os.path.join(self.staging_path, f"epoch={e}")
-                )
-                self.apply_epoch(df, e, has_ddl=has_ddl)
+            if chunked:
+                # one Spark job per DDL-free run inside the trigger (the
+                # same associative-fold batching as replay_batch; guard
+                # keys are identical, so chunked and per-epoch triggers
+                # resume over each other)
+                run_eps: list[int] = []
+
+                def flush_chunks():
+                    nonlocal run_eps
+                    for i in range(0, len(run_eps), epoch_batch):
+                        self.apply_epoch_chunk(run_eps[i:i + epoch_batch])
+                    run_eps = []
+
+                for e, has_ddl in eps:
+                    if has_ddl is False:
+                        run_eps.append(e)
+                    else:
+                        flush_chunks()
+                        df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
+                            os.path.join(self.staging_path, f"epoch={e}")
+                        )
+                        self.apply_epoch(df, e, has_ddl=has_ddl)
+                flush_chunks()
+            else:
+                for e, has_ddl in eps:
+                    df = self.spark.read.schema(EVENTS_SCHEMA).parquet(
+                        os.path.join(self.staging_path, f"epoch={e}")
+                    )
+                    self.apply_epoch(df, e, has_ddl=has_ddl)
             self.flush_lineage()
 
         self._register_lifecycle_listener()

@@ -43,6 +43,11 @@ def _cast(val: str | None, type_: str) -> Any:
         return float(val)
     if t == "boolean":
         return val.lower() in ("true", "1")
+    if t.startswith("decimal"):
+        from decimal import Decimal
+
+        _p, s = t[t.find("(") + 1 : t.find(")")].split(",")
+        return Decimal(val).quantize(Decimal(1).scaleb(-int(s)))
     return val
 
 

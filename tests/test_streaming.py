@@ -62,3 +62,32 @@ def test_lifecycle_listener_records_events(spark, tmpdir_):
         _t.sleep(0.2)
     kinds = {e["event"] for e in pipe.lifecycle_events}
     assert "started" in kinds and "terminated" in kinds
+
+
+def test_stream_chunked_epoch_batch(spark, tmpdir_):
+    """run_stream(epoch_batch=k): DDL-free epochs inside a trigger apply
+    as chunks; final state equals the sequential oracle and a restart on
+    the same checkpoint does not move the table version."""
+    from tapdata_connectors_spark.sources.generator import (
+        GeneratorConfig,
+        generate_events,
+        stage_events,
+    )
+    from tapdata_connectors_spark.streaming.driver import CdcPipeline
+    from tests.helpers import assert_state_equal, oracle_replay
+
+    cfg = GeneratorConfig(n_events=1500, n_urls=150, epoch_size=250,
+                          p_update=0.4, p_delete=0.15, p_dup=0.05)
+    ev = generate_events(spark, cfg)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=4, merge_mode="mor", fold_broadcast=True)
+    q = pipe.run_stream(f"{tmpdir_}/ckpt", max_epochs_per_trigger=3,
+                        epoch_batch=4)
+    q.awaitTermination(600)
+    assert_state_equal(pipe.table.read(), oracle_replay(ev.collect()))
+    v = pipe.table.current_version()
+    q2 = pipe.run_stream(f"{tmpdir_}/ckpt", max_epochs_per_trigger=3,
+                         epoch_batch=4)
+    q2.awaitTermination(600)
+    assert pipe.table.current_version() == v
