@@ -47,8 +47,18 @@ def append_delta(
     partial application is impossible)."""
     if epoch_key is not None:
         keys = epoch_key if isinstance(epoch_key, list) else [epoch_key]
-        if all(table.epoch_applied(k) for k in keys):
+        applied = [k for k in keys if table.epoch_applied(k)]
+        if applied and len(applied) == len(keys):
             return {"skipped": True, "version": table.current_version()}
+        if applied:
+            # A chunk commits all member keys in ONE manifest, so a mixed
+            # applied/unapplied list can only come from a caller passing an
+            # unfiltered key list — re-applying would double-append the
+            # already-applied members' rows. Fail loudly instead.
+            raise ValueError(
+                "append_delta: partial epoch overlap — already applied: "
+                f"{applied}; callers must pass only unapplied keys"
+            )
 
     m = table.manifest()
     ids = {f.name: f.id for f in m.fields}

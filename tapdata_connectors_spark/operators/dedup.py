@@ -312,6 +312,14 @@ def lww_fold(
                 F.broadcast(matched), F.col(key) == F.col(f"_k_{c.name}"), "left"
             ).drop(f"_k_{c.name}", f"_ws_{c.name}")
         if jumbo:
+            # NOTE: Spark's BroadcastHashJoin cannot build the PRESERVED
+            # side of an outer join (RightOuter supports BuildLeft only),
+            # so a `stream RIGHT OUTER broadcast(winners)` plan silently
+            # ignores the hint and either broadcasts the byte-heavy stream
+            # or falls back to sort-merge. Instead: an INNER join with the
+            # skinny winner frame as the broadcast build side (BuildRight —
+            # supported), then union back the winners with no live binary
+            # value. Binary bytes stay in the scan tasks; zero exchanges.
             c = jumbo[0]
             is_set, val = event_col_exprs(c)
             stream = events.filter(is_set).select(
@@ -319,12 +327,19 @@ def lww_fold(
                 F.col("event_seq").alias(f"_s_{c.name}"),
                 val.alias(f"_v_{c.name}"),
             )
-            out = stream.join(
+            live_c = live[c.name]
+            matched = stream.join(
                 F.broadcast(out),
-                (F.col(key) == F.col(f"_k_{c.name}"))
-                & (F.col(f"_s_{c.name}") == F.when(live[c.name], F.col(f"_w_{c.name}"))),
-                "right_outer",
+                (F.col(f"_k_{c.name}") == F.col(key))
+                & (F.col(f"_s_{c.name}") == F.when(live_c, F.col(f"_w_{c.name}"))),
+                "inner",
             ).drop(f"_k_{c.name}", f"_s_{c.name}")
+            # keys whose binary fold is not live match nothing above (their
+            # join seq is NULL); re-add them with a null value
+            unmatched = out.filter(~F.coalesce(live_c, F.lit(False))).withColumn(
+                f"_v_{c.name}", F.lit(None).cast(type_of(c.type))
+            )
+            out = matched.unionByName(unmatched)
     else:
         for c in heavy:
             is_set, val = event_col_exprs(c)

@@ -48,9 +48,16 @@ def tag_origin(df: DataFrame, pipeline_id: str,
                tag_key: str = "_origin") -> DataFrame:
     """Stamp outgoing events with this pipeline's origin id (the write
     half of the double-active protocol — what a bidirectional peer's
-    drop_loopback_events will filter)."""
+    drop_loopback_events will filter). Re-tagging an already-tagged event
+    (the natural case when relaying rows that arrived from a peer) REPLACES
+    the tag: the key is stripped before map_concat, because Spark's default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION makes a duplicate key a runtime
+    error, not a last-win."""
+    existing = F.coalesce(
+        F.col("extras"), F.create_map().cast(EVENTS_SCHEMA["extras"].dataType)
+    )
     tagged = F.map_concat(
-        F.coalesce(F.col("extras"), F.create_map().cast(EVENTS_SCHEMA["extras"].dataType)),
+        F.map_filter(existing, lambda k, _v: k != F.lit(tag_key)),
         F.create_map(F.lit(tag_key), F.lit(pipeline_id)),
     )
     return df.withColumn("extras", tagged)

@@ -269,19 +269,44 @@ FROM orders GROUP BY 1
 """
 
 
+_PK_RANGE_FRACS = [i / 8.0 for i in range(1, 8)]
+
+
 def q_snapshot_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK-range chunked scan (readPartition ranges): equal-depth range
-    boundaries over the primary key via NTILE — each chunk is a
-    `WHERE pk > lo AND pk <= hi` resumable scan unit
-    (DatabaseReadPartitionSplitter.java:120-180 splitByRange;
-    TapPartition lower/upper bounds). 8 chunks; per-chunk bounds + count.
-    Scale shape: one window over pre-sorted keys — at real scale the
-    splitter samples instead, but the emitted chunk contract (half-open
-    PK ranges covering the table) is identical."""
+    boundaries over the primary key via SAMPLED quantile boundaries — each
+    chunk is a `WHERE pk > lo AND pk <= hi` resumable scan unit
+    (DatabaseReadPartitionSplitter.java:137-230 splitByRange samples
+    min/max recursively to derive boundary VALUES; TapPartition
+    lower/upper bounds). 8 chunks; per-chunk bounds + count.
+
+    Scale shape: boundary discovery is a distributed percentile AGGREGATE
+    (map-side partial combine, primitive buffers — no global window, no
+    single-partition sort; the r2 ntile formulation moved every key row to
+    ONE partition). The 7-value boundary frame then broadcasts onto the
+    scan and chunk assignment is a map-only array count — the whole query
+    is one aggregate + one map pass regardless of table size. The
+    interior-boundary rule (chunk = 1 + #boundaries strictly below the
+    key; rows AT a boundary close the lower chunk — half-open ranges) is
+    integer-exact: fractions i/8 are dyadic so the interpolation
+    arithmetic is exact in doubles for integer keys, and the oracle
+    reproduces it bit-for-bit with quantile_cont."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    w = W.orderBy("o_orderkey")
+    bounds = o.agg(
+        F.transform(
+            F.percentile(F.col("o_orderkey"), F.lit(_PK_RANGE_FRACS)),
+            lambda x: F.floor(x).cast("bigint"),
+        ).alias("bs")
+    )
     return (
-        o.withColumn("chunk", F.ntile(8).over(w))
+        o.join(F.broadcast(bounds))
+        .withColumn(
+            "chunk",
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("bs"), lambda b: b < F.col("o_orderkey")))
+            ).cast("int"),
+        )
         .groupBy("chunk")
         .agg(
             F.min("o_orderkey").alias("lo"),
@@ -291,11 +316,20 @@ def q_snapshot_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SNAPSHOT_PK_RANGES = """
+_PK_RANGE_FRACS_SQL = ", ".join(str(f) for f in _PK_RANGE_FRACS)
+
+SQL_SNAPSHOT_PK_RANGES = f"""
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(o_orderkey, [{_PK_RANGE_FRACS_SQL}]),
+           x -> CAST(floor(x) AS BIGINT)) AS bs
+  FROM orders
+)
 SELECT chunk, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
        count(*) AS n_rows
-FROM (SELECT o_orderkey, ntile(8) OVER (ORDER BY o_orderkey) AS chunk
-      FROM orders)
+FROM (SELECT o_orderkey,
+             CAST(1 + len(list_filter(bs, x -> x < o_orderkey)) AS INTEGER) AS chunk
+      FROM orders, b)
 GROUP BY chunk
 """
 
@@ -938,6 +972,16 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE (oracle parity precondition): this oracle — and
+# SQL_MULTIMODAL_FRAME_SAMPLE below — reads documents.text with DuckDB
+# CHARACTER semantics (substr/ascii/strlen) while the Spark side packs
+# text.encode("utf-8") BYTES. The two agree iff documents.text is pure
+# ASCII (1 char == 1 byte, codepoint == byte value). DuckDB cannot index
+# raw blob bytes (no substring(BLOB)), so the byte-exact rewrite is not
+# expressible; instead the fixture invariant is ASSERTED by
+# tests/test_multimodal.py::test_documents_text_is_ascii — if the
+# testdata ever grows multi-byte characters that test fails before this
+# oracle silently diverges.
 SQL_MULTIMODAL_IMAGE_META = """
 WITH b AS (
   SELECT doc_id, strlen(text) AS nb,

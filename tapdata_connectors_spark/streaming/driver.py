@@ -293,7 +293,15 @@ class CdcPipeline:
         Idempotence: every member epoch's guard key rides the single
         atomic manifest commit (all-or-nothing with the data files);
         members already applied by an earlier per-epoch or chunked run are
-        filtered out before the read, so mixed resumes are safe."""
+        filtered out before the read, so mixed resumes are safe.
+
+        Lineage attribution: a chunk is ONE delivery unit, so it emits one
+        lineage row set stamped with the chunk's FIRST member epoch; the
+        row's lo/hi offsets span the whole chunk (per-epoch offset ranges
+        collapse into the chunk range — by design, matching the
+        one-trigger-one-lineage-row shape at 10^10 scale). The returned
+        metrics carry `epoch_key` as the stable string "e<lo>-e<hi>:chunk"
+        plus the member list under `chunk_epochs`."""
         if self.merge_mode != "mor" or self.policy != DEFAULT_POLICY:
             raise ValueError("apply_epoch_chunk requires merge_mode='mor' "
                              "and the default write policy")
@@ -305,8 +313,11 @@ class CdcPipeline:
         df = self.spark.read.schema(EVENTS_SCHEMA).parquet(*paths)
         sl = normalize_events(df.filter(F.col("op") != "DDL"))
         keys = [f"e{e}:s0" for e in todo]
-        return [self._apply_slice_mor(sl, todo[0], 0, keys, self.payload_specs(),
-                                      time.time())]
+        m = self._apply_slice_mor(sl, todo[0], 0, keys, self.payload_specs(),
+                                  time.time())
+        m["epoch_key"] = f"e{todo[0]}-e{todo[-1]}:chunk"
+        m["chunk_epochs"] = todo
+        return [m]
 
     def _bucket_or_null_sentinel(self) -> F.Column:
         """Merge-bucket id, with null-PK rows diverted to sentinel bucket -2

@@ -181,7 +181,15 @@ def test_broadcast_fold_equals_shuffle_fold(spark):
     b = {r["url"]: tuple(r[c] for c in cols)
          for r in lww_fold(df, PAYLOAD, broadcast_winners=True).collect()}
     assert a == b
-    # plan shape: phase B carries no shuffled join of payload values
+    # plan shape: phase B carries no shuffled join of payload values, and
+    # every broadcast join builds the skinny (right) side — BuildLeft would
+    # mean Spark is broadcasting the byte-carrying stream side, and a
+    # SortMerge/ShuffledHash join would mean a hint was silently dropped
+    # (the historical right_outer+broadcast(preserved) bug: RightOuter
+    # supports BuildLeft only, so the hint was ignored)
     plan = lww_fold(df, PAYLOAD, broadcast_winners=True)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BuildLeft" not in plan  # binary/payload side must never be built

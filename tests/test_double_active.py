@@ -44,3 +44,15 @@ def test_tag_then_drop_roundtrip(spark):
     assert drop_loopback_events(tagged, "pipe_A").count() == 0
     # ...while a different pipeline keeps it all
     assert drop_loopback_events(tagged, "pipe_B").count() == 2
+
+
+def test_retag_already_tagged_event_replaces(spark):
+    """Re-tagging a row that already carries an _origin tag (the natural
+    relay case in a bidirectional topology) must REPLACE the tag, not
+    throw — Spark's default mapKeyDedupPolicy=EXCEPTION makes a naive
+    map_concat a runtime 'duplicate map key' error."""
+    rows = [_ev(1, "a", {"_origin": "pipe_B", "k": "v"})]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    got = {r["url"]: dict(r["extras"])
+           for r in tag_origin(df, "pipe_A").collect()}
+    assert got["a"] == {"k": "v", "_origin": "pipe_A"}

@@ -129,3 +129,23 @@ def test_fvid_header_guards():
         mm.encode_fvid([b"aa", b"bbb"])
     with pytest.raises(ValueError, match="FVID"):
         mm.decode_fvid(b"FIMG" + struct.pack(">HH", 1, 1) + b"x")
+
+
+def test_documents_text_is_ascii():
+    """Oracle-parity precondition for the multimodal registry queries: the
+    DuckDB oracles (SQL_MULTIMODAL_IMAGE_META / _FRAME_SAMPLE) read
+    documents.text with CHARACTER semantics while Spark packs utf-8
+    BYTES; they agree iff text is pure ASCII. Assert that invariant so a
+    fixture change fails HERE, not as a silent oracle divergence (see the
+    note above SQL_MULTIMODAL_IMAGE_META in queries.py)."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0, f"{n} documents contain non-ASCII text; multimodal oracles diverge"

@@ -82,6 +82,38 @@ def test_resolve_mor_plan_is_hash_aggregated(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_registry_queries_have_no_global_windows(spark):
+    """No registry query may plan a single-partition (unpartitioned) Window
+    — the all-rows-to-one-task shape that dies at scale. Sole exception:
+    rownum_pagination, which intentionally reproduces the reference's
+    global ROWNO_ pagination semantics and is a point query (documented in
+    BENCH/BASELINE.md). VERDICT r2 item 4."""
+    import os
+
+    from tapdata_connectors_spark.queries import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+    def unpartitioned_windows(df) -> list[str]:
+        bad: list[str] = []
+
+        def walk(node):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                bad.append(node.simpleString(120))
+            kids = node.children()
+            for i in range(kids.length()):
+                walk(kids.apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return bad
+
+    for name, fn in QUERIES.items():
+        if name == "rownum_pagination":
+            continue
+        bad = unpartitioned_windows(fn(spark, sf_dir))
+        assert not bad, f"{name} plans a global window: {bad}"
+
+
 def test_merge_broadcast_and_shuffle_plans_agree(spark, tmpdir_, monkeypatch):
     """BROADCAST_KEY_BYTES=0 forces the shuffle plan; final state must equal
     the broadcast plan's (VERDICT r1 item 7)."""
