@@ -14,14 +14,17 @@ operation through one interface with two implementations:
   same connector classes Spark's own readers/writers use, so whatever FS
   the cluster can read, the lake can commit to.
 
-Commit atomicity story (documented, same as Iceberg's HadoopTableOperations):
-manifests are immutable `v{N}.json` files; the CURRENT pointer is a HINT —
-readers fall back to max(vN) when it is missing or torn. On HDFS the
-pointer rename is atomic; on S3A rename is copy+delete (not atomic), so the
-worst case is a stale hint corrected by the listing fallback. A
-multi-writer deployment would CAS the pointer through a catalog /
-conditional put; this engine is single-writer-process by design
-(lake/table.py commit lock).
+Commit atomicity story (same as Iceberg's HadoopTableOperations):
+manifests are immutable `v{N}.json` files created with an EXCLUSIVE-create
+CAS (`create_exclusive`: POSIX O_CREAT|O_EXCL locally, HDFS
+`FileSystem.create(path, overwrite=false)` remotely) — concurrent writers
+racing on the same next version get exactly one winner; the loser re-reads
+the new head and retries (lake/table.py commit_files retry loop). The
+CURRENT pointer is a HINT only — readers take max(hint, committed
+listing), so a stale or torn pointer (object-store rename is copy+delete)
+can never hide a committed version. On object stores without atomic
+create the lost race still surfaces as a conflict after the fact; a
+catalog conditional-put would be the true CAS there.
 """
 
 from __future__ import annotations
@@ -69,6 +72,24 @@ class LocalFS:
 
     def replace(self, src: str, dst: str) -> None:
         os.replace(src, dst)
+
+    def create_exclusive(self, path: str, content: str) -> bool:
+        """Atomically publish `path` with `content` iff it does not exist.
+        Write-tmp-then-hard-link: link(2) fails with EEXIST when another
+        writer got there first (the CAS), and the target appears with its
+        FULL content — a bare O_CREAT|O_EXCL would expose an empty file
+        between create and write, tearing concurrent manifest readers."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{id(content)}"
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
 
     def list_names(self, path: str) -> list[str]:
         return os.listdir(path) if os.path.isdir(path) else []
@@ -149,6 +170,29 @@ class HadoopFS:
             self._fs.delete(jdst, False)
         if not self._fs.rename(self._path(src), jdst):
             raise IOError(f"rename failed: {src} -> {dst}")
+
+    def create_exclusive(self, path: str, content: str) -> bool:
+        """HDFS atomic-publish CAS: write a tmp file, then
+        `FileSystem.rename(tmp, dst)` — HDFS rename is atomic and returns
+        false when dst already exists, so the namenode arbitrates
+        concurrent committers AND the target appears with its full
+        content (a create(overwrite=false)+write would expose a partial
+        file to concurrent readers). Same protocol as Iceberg's
+        HadoopTableOperations commit. On object stores rename is
+        copy+delete — a lost race still surfaces (rename false), but the
+        window is wider; true CAS there needs a catalog conditional put."""
+        import uuid as _uuid
+
+        tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
+        stream = self._fs.create(self._path(tmp), True)
+        try:
+            stream.write(bytearray(content.encode("utf-8")))
+        finally:
+            stream.close()
+        if self._fs.rename(self._path(tmp), self._path(path)):
+            return True
+        self._fs.delete(self._path(tmp), False)
+        return False
 
     def list_names(self, path: str) -> list[str]:
         jp = self._path(path)

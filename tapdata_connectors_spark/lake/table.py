@@ -148,9 +148,19 @@ class Manifest:
 
 # per-table-path commit lock: commits are read-modify-write on the manifest,
 # and concurrent epoch application (driver threads) must serialize them.
-# Single-writer-process model; a real deployment would CAS on the catalog.
+# CROSS-process writers are arbitrated by the exclusive-create manifest
+# CAS in _commit (+ the commit_files retry loop); this in-process lock
+# just keeps same-JVM threads from burning retries against each other.
 _COMMIT_LOCKS: dict[str, threading.RLock] = {}
 _COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed the manifest version this commit was
+    built against. Data commits (commit_files) retry automatically; DDL
+    paths surface it — schema changes replay from ONE driver in source
+    order by design (the DDL barrier), so a DDL conflict means the
+    deployment is misconfigured, not a race to paper over."""
 
 
 def _lock_for(path: str) -> threading.RLock:
@@ -188,15 +198,30 @@ class LakeTable:
         )
 
     def current_version(self) -> int:
-        """CURRENT is a hint: fall back to the max committed manifest when
-        it is absent or torn (object-store renames are not atomic)."""
+        """CURRENT is a hint only: the head is max(hint, committed
+        listing). A concurrent writer's pointer swap can land out of
+        order (writer A's CURRENT=5 after writer B committed v6), and
+        object-store renames can tear — neither may hide a committed
+        version, or the multi-writer CAS loop would rebuild against a
+        stale base forever. Probe forward from the hint (vN+1 existence
+        checks) instead of listing: O(gap) metadata reads, gap is 0 in
+        steady state."""
+        hint = None
         try:
-            return int(self._io.read_text(posixpath.join(self._mdir, "CURRENT")).strip())
+            hint = int(
+                self._io.read_text(posixpath.join(self._mdir, "CURRENT")).strip()
+            )
         except Exception:
+            pass
+        if hint is None:
             vs = self._manifest_versions()
             if not vs:
                 raise FileNotFoundError(f"no manifests under {self._mdir}")
             return vs[-1]
+        v = hint
+        while self._io.exists(posixpath.join(self._mdir, f"v{v + 1}.json")):
+            v += 1
+        return v
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
@@ -205,12 +230,21 @@ class LakeTable:
         )
 
     def _commit(self, m: Manifest) -> None:
-        """Snapshot commit: immutable manifest file, then pointer swap
-        (atomic locally/HDFS; hint-with-fallback semantics elsewhere)."""
+        """Snapshot commit: the immutable manifest file is created with an
+        exclusive-create CAS (POSIX O_EXCL locally, HDFS atomic create
+        remotely — lake/fs.py create_exclusive), so two PROCESSES racing
+        on the same next version get exactly one winner; the loser sees
+        CommitConflict and must rebuild against the new head (commit_files
+        does this automatically). The pointer swap after the CAS is a
+        hint update only (current_version probes past it)."""
         self._io.mkdirs(self._mdir)
-        self._io.write_text(
+        if not self._io.create_exclusive(
             posixpath.join(self._mdir, f"v{m.version}.json"), m.to_json()
-        )
+        ):
+            raise CommitConflict(
+                f"manifest v{m.version} already committed by a concurrent "
+                f"writer ({self.path})"
+            )
         tmp = posixpath.join(self._mdir, f".CURRENT.{uuid.uuid4().hex}")
         self._io.write_text(tmp, str(m.version))
         self._io.replace(tmp, posixpath.join(self._mdir, "CURRENT"))
@@ -666,24 +700,39 @@ class LakeTable:
         appended delta can never be dropped), add new entries, optionally
         record one or more applied epochs (a LIST records every member of a
         batched epoch-chunk atomically — all-or-nothing with the files).
-        Atomic under the per-table commit lock."""
+
+        Multi-writer safe: the manifest CAS (_commit) arbitrates
+        cross-process races; on conflict the merge is REBUILT against the
+        new head and retried, so a lost race never drops the other
+        writer's files or this writer's entries. In-process threads
+        additionally serialize on the table lock (no wasted retries)."""
         with self._lock:
-            m = self.manifest()
-            keep = list(m.files)
-            if replaced_buckets:
-                keep = [f for f in keep if f["bucket"] not in replaced_buckets]
-            if replaced_paths:
-                keep = [f for f in keep if f["path"] not in replaced_paths]
-            m.files = keep + new_entries
-            if epoch_key is not None:
-                keys = epoch_key if isinstance(epoch_key, list) else [epoch_key]
-                for k in keys:
-                    m.applied_epochs[k] = epoch_hash
-            m.version += 1
-            m.parent = m.version - 1
-            m.summary = {**(summary or {}), "ts_ms": int(time.time() * 1000)}
-            self._commit(m)
-            return m.version
+            last_err: CommitConflict | None = None
+            for _ in range(20):
+                m = self.manifest()
+                keep = list(m.files)
+                if replaced_buckets:
+                    keep = [f for f in keep if f["bucket"] not in replaced_buckets]
+                if replaced_paths:
+                    keep = [f for f in keep if f["path"] not in replaced_paths]
+                m.files = keep + new_entries
+                if epoch_key is not None:
+                    keys = epoch_key if isinstance(epoch_key, list) else [epoch_key]
+                    for k in keys:
+                        m.applied_epochs[k] = epoch_hash
+                m.version += 1
+                m.parent = m.version - 1
+                m.summary = {**(summary or {}), "ts_ms": int(time.time() * 1000)}
+                try:
+                    self._commit(m)
+                    return m.version
+                except CommitConflict as e:
+                    last_err = e
+                    continue
+            raise CommitConflict(
+                f"commit_files: 20 consecutive conflicts on {self.path} — "
+                f"pathological writer contention; last: {last_err}"
+            )
 
     def epoch_applied(self, epoch_key: str) -> bool:
         return epoch_key in self.manifest().applied_epochs

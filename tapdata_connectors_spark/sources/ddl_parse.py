@@ -1,0 +1,249 @@
+"""Raw DDL-string parsing: `ALTER TABLE ...` SQL text → typed DDL_SCHEMA
+events.
+
+A binlog carries schema changes as SQL TEXT; the reference parses that
+text into typed events before replay (DDLFactory.java:57-85 dispatches the
+string through a parser + per-statement wrappers; MysqlAddColumnDDLWrapper
+.java:35-98 folds the column-spec token stream into TapField
+default/not-null/comment attributes; golden fixtures
+DDLFactoryTest.java:66-99). This module is the Spark engine's analog: one
+`parse_ddl(sql)` producing the SAME typed dicts the pipeline's
+`_apply_ddl` already replays (schema.py DDL_SCHEMA), so a real binlog
+adapter can feed `ALTER TABLE` text straight into the staged event log.
+
+Statement → event mapping (mirrors the reference's wrapper fan-out):
+
+  ADD [COLUMN] c type [specs]     → ADD_COLUMN (default/not_null/comment)
+  CHANGE [COLUMN] old new type …  → RENAME_COLUMN + TYPE_WIDEN (two
+                                    events, name change first — exactly
+                                    the TapAlterFieldNameEvent +
+                                    TapAlterFieldAttributesEvent pair the
+                                    reference emits for CHANGE)
+  MODIFY [COLUMN] c type [specs]  → TYPE_WIDEN
+  RENAME COLUMN old TO new        → RENAME_COLUMN
+  DROP [COLUMN] c                 → DROP_COLUMN
+  anything else                   → ValueError with the offending SQL
+                                    (TapDDLUnknownEvent analog — unknown
+                                    DDL is surfaced, never dropped)
+
+Pure-Python, driver-side: DDL arrives at binlog rate (a handful per day),
+never in a hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+# SQL type name → Spark simpleString. Parenthesized length args are
+# dropped for types whose Spark analog is unparameterized (varchar(50) →
+# string, int(4) → int); decimal keeps (precision, scale).
+_TYPE_MAP = {
+    "tinyint": "smallint",
+    "smallint": "smallint",
+    "mediumint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "real": "double",
+    "decimal": "decimal",
+    "numeric": "decimal",
+    "char": "string",
+    "varchar": "string",
+    "tinytext": "string",
+    "text": "string",
+    "mediumtext": "string",
+    "longtext": "string",
+    "json": "string",
+    "date": "date",
+    "datetime": "timestamp",
+    "timestamp": "timestamp",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "tinyblob": "binary",
+    "blob": "binary",
+    "mediumblob": "binary",
+    "longblob": "binary",
+    "varbinary": "binary",
+    "binary": "binary",
+}
+
+_QUOTES = "`\"'"
+
+
+def _unquote(tok: str) -> str:
+    if len(tok) >= 2 and tok[0] in _QUOTES and tok[-1] == tok[0]:
+        return tok[1:-1]
+    return tok
+
+
+def _tokenize(sql: str) -> list[str]:
+    """Split on whitespace/commas/parens, keeping quoted strings (with
+    their quotes) and parenthesized type args as single tokens."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch.isspace() or ch == ",":
+            i += 1
+        elif ch in _QUOTES:
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == "(":
+            j = sql.index(")", i)
+            out.append(sql[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not sql[j].isspace() and sql[j] not in ",()`\"'":
+                j += 1
+            out.append(sql[i:j])
+            i = j
+    return out
+
+
+def map_sql_type(sql_type: str) -> str:
+    """'varchar(50)' → 'string', 'decimal(5,2)' → 'decimal(5,2)',
+    'tinyint(1)' → 'boolean' (the MySQL bool idiom)."""
+    m = re.fullmatch(r"([a-zA-Z]+)\s*(\(([^)]*)\))?", sql_type.strip())
+    if not m:
+        raise ValueError(f"unparseable SQL type: {sql_type!r}")
+    base, args = m.group(1).lower(), m.group(3)
+    if base == "tinyint" and args and args.strip() == "1":
+        return "boolean"
+    if base not in _TYPE_MAP:
+        raise ValueError(f"unsupported SQL type: {sql_type!r}")
+    spark = _TYPE_MAP[base]
+    if spark == "decimal":
+        return f"decimal({args})" if args else "decimal(10,0)"
+    return spark
+
+
+def _parse_specs(toks: list[str]) -> dict:
+    """Fold a column-spec token stream into {new_default, not_null,
+    comment} — the reference's preSpec state machine
+    (MysqlAddColumnDDLWrapper.java:56-91): DEFAULT/COMMENT arm a
+    one-token lookahead; NOT NULL is the two-token nullability form;
+    KEY/UNIQUE/AUTO_INCREMENT are recognized and skipped (key position
+    and auto-increment have no lake analog)."""
+    out = {"new_default": None, "not_null": None, "comment": None}
+    pre = ""
+    for tok in toks:
+        low = tok.lower()
+        if low in ("not", "default", "comment"):
+            pre = low
+        elif low == "null":
+            if pre == "not":
+                out["not_null"] = True
+            else:
+                out["not_null"] = False
+            pre = ""
+        elif low in ("key", "unique", "auto_increment", "first", "primary"):
+            pre = ""
+        else:
+            if pre == "default":
+                out["new_default"] = _unquote(tok)
+            elif pre == "comment":
+                out["comment"] = _unquote(tok)
+            pre = ""
+    return out
+
+
+def _event(kind: str, **kw) -> dict:
+    base = {"kind": kind, "column": None, "new_name": None, "new_type": None,
+            "new_default": None, "not_null": None, "comment": None}
+    base.update(kw)
+    return base
+
+
+def parse_ddl(sql: str) -> list[dict]:
+    """Parse one `ALTER TABLE` statement into an ordered list of
+    DDL_SCHEMA-shaped dicts (a CHANGE yields two). Raises ValueError on
+    anything outside the supported grammar."""
+    stmt = sql.strip().rstrip(";").strip()
+    toks = _tokenize(stmt)
+    if len(toks) < 4 or toks[0].lower() != "alter" or toks[1].lower() != "table":
+        raise ValueError(f"not an ALTER TABLE statement: {sql!r}")
+    # toks[2] = [db.]table (unused: single-table pipelines route upstream)
+    i = 3
+    op = toks[i].lower()
+    i += 1
+
+    def skip_column_kw(i: int) -> int:
+        return i + 1 if i < len(toks) and toks[i].lower() == "column" else i
+
+    def type_at(i: int) -> tuple[str, int]:
+        """(mapped type, index past it) — the tokenizer emits `decimal`
+        and `(5,2)` as two tokens; rejoin them here."""
+        if i >= len(toks):
+            raise ValueError(f"expected a SQL type: {sql!r}")
+        t = toks[i]
+        if i + 1 < len(toks) and toks[i + 1].startswith("("):
+            return map_sql_type(t + toks[i + 1]), i + 2
+        return map_sql_type(t), i + 1
+
+    if op == "add":
+        if i < len(toks) and toks[i].lower() in (
+            "index", "key", "constraint", "primary", "unique", "fulltext",
+            "foreign", "partition",
+        ):
+            # index/constraint DDL has no column-schema effect on the lake
+            raise ValueError(
+                f"unsupported ALTER TABLE operation 'add {toks[i].lower()}': {sql!r}"
+            )
+        i = skip_column_kw(i)
+        if i + 1 >= len(toks):
+            raise ValueError(f"ADD COLUMN needs a name and type: {sql!r}")
+        col = _unquote(toks[i])
+        new_type, j = type_at(i + 1)
+        specs = _parse_specs(toks[j:])
+        return [_event("ADD_COLUMN", column=col, new_type=new_type, **specs)]
+    if op == "change":
+        i = skip_column_kw(i)
+        if i + 2 >= len(toks):
+            raise ValueError(f"CHANGE COLUMN needs old, new and type: {sql!r}")
+        old, new = _unquote(toks[i]), _unquote(toks[i + 1])
+        new_type, _ = type_at(i + 2)
+        # name first, then attrs — the reference's event order for CHANGE
+        # (DDLFactoryTest.changeColumnWrapperTest asserts exactly this)
+        out = []
+        if old != new:
+            out.append(_event("RENAME_COLUMN", column=old, new_name=new))
+        out.append(_event("TYPE_WIDEN", column=new, new_type=new_type))
+        return out
+    if op == "modify":
+        i = skip_column_kw(i)
+        if i + 1 >= len(toks):
+            raise ValueError(f"MODIFY COLUMN needs a name and type: {sql!r}")
+        col = _unquote(toks[i])
+        new_type, _ = type_at(i + 1)
+        return [_event("TYPE_WIDEN", column=col, new_type=new_type)]
+    if op == "rename":
+        i = skip_column_kw(i)
+        if i + 2 >= len(toks) or toks[i + 1].lower() != "to":
+            raise ValueError(f"RENAME COLUMN needs `old TO new`: {sql!r}")
+        return [_event("RENAME_COLUMN", column=_unquote(toks[i]),
+                       new_name=_unquote(toks[i + 2]))]
+    if op == "drop":
+        i = skip_column_kw(i)
+        if i >= len(toks):
+            raise ValueError(f"DROP COLUMN needs a name: {sql!r}")
+        return [_event("DROP_COLUMN", column=_unquote(toks[i]))]
+    raise ValueError(f"unsupported ALTER TABLE operation {op!r}: {sql!r}")
+
+
+def parse_ddl_to_specs(sql: str, start_seq: int):
+    """parse_ddl + assignment of consecutive global sequence numbers —
+    the staged-log form (generator.DdlSpec) the pipeline replays. A
+    CHANGE's two events get adjacent seqs, preserving the
+    name-before-attrs replay order."""
+    from tapdata_connectors_spark.sources.generator import DdlSpec
+
+    return tuple(
+        DdlSpec(seq=start_seq + i, **e)
+        for i, e in enumerate(parse_ddl(sql))
+    )

@@ -33,7 +33,7 @@ from pyspark import StorageLevel
 
 from tapdata_connectors_spark.functions.text_extract import extract_text_udf
 from tapdata_connectors_spark.lake.merge import merge_into
-from tapdata_connectors_spark.lake.table import LakeTable
+from tapdata_connectors_spark.lake.table import CommitConflict, LakeTable
 from tapdata_connectors_spark.operators.dedup import ColumnSpec, lww_fold
 from tapdata_connectors_spark.operators.events import normalize_events
 from tapdata_connectors_spark.plans.policies import DEFAULT_POLICY, WritePolicy
@@ -161,8 +161,8 @@ class CdcPipeline:
                     key="url",
                     n_buckets=self.n_buckets,
                 )
-            except FileExistsError:
-                # lost a create race with a concurrent epoch thread — the
+            except (FileExistsError, CommitConflict):
+                # lost a create race with a concurrent thread/process — the
                 # table now exists, which is all this method guarantees
                 pass
         return self.table

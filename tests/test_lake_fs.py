@@ -85,3 +85,63 @@ def test_pipeline_on_file_uri_table(spark, tmpdir_):
     pipe.replay_batch()
     assert isinstance(pipe.table._io, HadoopFS)
     assert_state_equal(pipe.table.read(), oracle_replay(ev.collect()))
+
+
+def test_concurrent_two_process_commit(tmpdir_):
+    """Multi-writer commit CAS (VERDICT r2 item 8): two OS processes
+    hammer commit_files against the same table concurrently. The
+    exclusive-create manifest CAS must arbitrate every version: both
+    processes finish cleanly (losers retry), no committed entry or epoch
+    key is lost, and versions are dense with no forks."""
+    import json
+    import subprocess
+    import sys
+    import time as _time
+
+    from tapdata_connectors_spark.lake.table import LakeTable
+
+    path = f"{tmpdir_}/cas_table"
+    # metadata-only operations: no SparkSession needed (LocalFS path)
+    LakeTable.create(None, path, fields=[("url", "string")], key="url",
+                     n_buckets=4)
+    barrier = f"{tmpdir_}/go"
+    worker = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from tapdata_connectors_spark.lake.table import LakeTable
+tag, path, barrier = sys.argv[1], sys.argv[2], sys.argv[3]
+t = LakeTable(None, path)
+while not os.path.exists(barrier):
+    time.sleep(0.001)
+for i in range(10):
+    t.commit_files(
+        [{{"path": f"data/{{tag}}_{{i}}.parquet", "bucket": 0,
+           "columns": {{}}, "types": {{}}, "kind": "delta"}}],
+        epoch_key=f"e_{{tag}}_{{i}}",
+    )
+print("DONE " + tag)
+""".format(repo="/root/repo")
+    procs = [
+        subprocess.Popen([sys.executable, "-c", worker, tag, path, barrier],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for tag in ("A", "B")
+    ]
+    _time.sleep(0.3)
+    open(barrier, "w").close()
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert "DONE A" in outs[0][0] and "DONE B" in outs[1][0]
+
+    t = LakeTable(None, path)
+    assert t.current_version() == 20  # v0 create + 20 contended commits
+    m = t.manifest()
+    paths = {f["path"] for f in m.files}
+    assert paths == {f"data/{tag}_{i}.parquet"
+                     for tag in ("A", "B") for i in range(10)}
+    keys = set(m.applied_epochs)
+    assert keys == {f"e_{tag}_{i}" for tag in ("A", "B") for i in range(10)}
+    # every intermediate version file exists exactly once (no forks)
+    import os
+    names = {n for n in os.listdir(f"{path}/_manifests") if n.startswith("v")}
+    assert names == {f"v{v}.json" for v in range(21)}

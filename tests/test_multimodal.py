@@ -48,9 +48,156 @@ def test_fvid_roundtrip():
 
 
 def test_real_formats_refused():
-    for magic in (b"\xff\xd8\xff\xe0", b"\x89PNG\r\n", b"RIFF1234WAVE"):
-        with pytest.raises(NotImplementedError, match="library"):
+    # narrowed to the formats that genuinely need codec libraries: JPEG
+    # and MP4 (PNG/WAV now decode via the stdlib — tests below)
+    for magic in (b"\xff\xd8\xff\xe0", b"\x00\x00\x00\x18ftypmp42"):
+        with pytest.raises(NotImplementedError, match="codec library"):
             mm.decode_fimg(magic + b"\x00" * 16)
+
+
+# ---------------------------------------------------------------------------
+# real-format stdlib decode: PNG (zlib) and WAV (wave)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _encode_png(px: np.ndarray, filters: list[int]) -> bytes:
+    """In-test PNG encoder (the independent forward direction of the
+    engine's de-filter): applies the given per-scanline filter types and
+    zlib-compresses. px is HxW (gray) or HxWxC uint8."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    ct = {1: 0, 3: 2, 4: 6}[nch]
+    flat = px.reshape(h, w * nch).astype(np.int64)
+    stride = w * nch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y, f in zip(range(h), filters):
+        line = flat[y]
+        enc = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = int(line[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(line[i]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_gray_decode_all_filters():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    blob = _encode_png(px, filters=[0, 1, 2, 3, 4])
+    got = mm.decode_fimg(blob)
+    assert np.array_equal(got, px)
+
+
+def test_png_rgb_and_rgba_decode_to_luma():
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    lum = ((rgb[:, :, 0].astype(np.int64) * 299
+            + rgb[:, :, 1].astype(np.int64) * 587
+            + rgb[:, :, 2].astype(np.int64) * 114) // 1000).astype(np.uint8)
+    assert np.array_equal(mm.decode_fimg(_encode_png(rgb, [4, 1, 2, 3])), lum)
+    rgba = np.dstack([rgb, np.full((4, 6), 200, np.uint8)])
+    assert np.array_equal(mm.decode_fimg(_encode_png(rgba, [2, 4, 0, 1])), lum)
+
+
+def test_png_unsupported_shapes_raise():
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(2, 2), dtype=np.uint8)
+    blob = bytearray(_encode_png(px, [0, 0]))
+    # flip IHDR bit depth to 16 (offset: 8 magic + 8 len/type + 8 w/h)
+    blob[8 + 8 + 8] = 16
+    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+        mm.decode_fimg(bytes(blob))
+
+
+def _encode_wav(samples: np.ndarray, rate: int, nch: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_mono_decode():
+    s = (np.arange(300) * 37 % 20000 - 10000).astype(np.int16)
+    rate, got = mm.decode_faud(_encode_wav(s, 16000))
+    assert rate == 16000
+    assert np.array_equal(got, s)
+
+
+def test_wav_stereo_takes_channel0():
+    left = (np.arange(64) * 11 - 300).astype(np.int16)
+    right = (np.arange(64) * -7 + 100).astype(np.int16)
+    inter = np.empty(128, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    rate, got = mm.decode_faud(_encode_wav(inter, 8000, nch=2))
+    assert rate == 8000
+    assert np.array_equal(got, left)
+
+
+def test_mixed_png_fimg_column_through_spark(spark):
+    """Dispatch works inside the mapInPandas operator: one binary column
+    carrying both PNG and FIMG blobs decodes row-by-row by magic."""
+    rng = np.random.RandomState(5)
+    rows, expect = [], {}
+    for i in range(6):
+        px = rng.randint(0, 256, size=(3 + i, 5), dtype=np.uint8)
+        if i % 2 == 0:
+            blob = _encode_png(px, filters=[(y % 5) for y in range(3 + i)])
+        else:
+            blob = mm.encode_fimg(px.tobytes(), width=5)
+        rows.append(Row(id=i, img=blob))
+        expect[i] = (5, 3 + i, px.size, int(px.sum(dtype=np.int64)))
+    out = mm.image_meta(spark.createDataFrame(rows).repartition(3)).collect()
+    got = {r["id"]: (r["width"], r["height"], r["n_pixels"], r["sum_px"])
+           for r in out}
+    assert got == expect
+
+
+def test_wav_through_audio_meta_spark(spark):
+    rows, expect = [], {}
+    for i in range(4):
+        s = (np.arange(50 + i) * (13 + i) % 9000 - 4500).astype(np.int16)
+        blob = _encode_wav(s, 8000 + i) if i % 2 == 0 else mm.encode_faud(s, 8000 + i)
+        rows.append(Row(id=i, audio=blob))
+        s64 = s.astype(np.int64)
+        expect[i] = (8000 + i, len(s), int((s64 * s64).sum()))
+    out = mm.audio_meta(spark.createDataFrame(rows).repartition(2)).collect()
+    got = {r["id"]: (r["sample_rate"], r["n_samples"], r["sumsq"]) for r in out}
+    assert got == expect
 
 
 # ---------------------------------------------------------------------------
