@@ -35,10 +35,13 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def hyperplane_bucket(v: Column, n_planes: int = 8) -> Column:
+def hyperplane_bucket(v: Column, n_planes: int = 8,
+                      plane_offset: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket id (sign-bit pattern of
     `n_planes` md5-derived integer hyperplanes). Map-only; identical to
-    the DuckDB-oracle formulation in queries.py."""
+    the DuckDB-oracle formulation in queries.py. `plane_offset` selects an
+    independent plane set (planes offset..offset+n_planes-1) — the
+    OR-construction bands of cosine_near_dup_multiprobe."""
     def plane_weights(p: int) -> Column:
         # NB: the lambda must take exactly ONE parameter — F.transform
         # treats a 2-parameter lambda as (element, index), so a `p=p`
@@ -57,9 +60,9 @@ def hyperplane_bucket(v: Column, n_planes: int = 8) -> Column:
         )
 
     bits = []
-    for p in range(n_planes):
-        w = plane_weights(p)
-        bits.append(F.when(int_dot(v, w) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    for j in range(n_planes):
+        w = plane_weights(plane_offset + j)
+        bits.append(F.when(int_dot(v, w) > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
@@ -126,6 +129,62 @@ def cosine_near_dup(df: DataFrame, threshold_x1e6: int = 300_000,
         pairs.withColumn("cos_x1e6", F.floor(cos * 1000000.0).cast("long"))
         .filter(F.col("cos_x1e6") >= threshold_x1e6)
         .select("vec_a", "vec_b", "cos_x1e6")
+    )
+
+
+def cosine_near_dup_multiprobe(df: DataFrame, threshold_x1e6: int = 300_000,
+                               n_planes: int = 4, n_bands: int = 3,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """OR-construction embedding near-dup (the recall path — VERDICT r2
+    item 7): each vector is bucketed by `n_bands` INDEPENDENT hyperplane
+    sets (band t uses planes t·n_planes..t·n_planes+n_planes-1 — the
+    MinHash-banding analog for embeddings); candidate pairs share a
+    bucket in ANY band, so a near-dup pair straddling one band's
+    hyperplane boundary is still caught by another band. Miss probability
+    decays exponentially in n_bands ((1-p^1)… → (1-p)^b for per-band
+    collision probability p), where single-probe cosine_near_dup is the
+    b=1 special case — with band 0's planes identical to single-probe's,
+    this operator's candidate set is a strict SUPERSET at the same
+    threshold.
+
+    Scale shape: the explode multiplies only the skinny (id, norm,
+    vector-ref) frame by n_bands; the self-join stays bucket-equi (work ∝
+    per-band bucket sizes, never all-pairs). Pairs colliding in several
+    bands verify once per colliding band and collapse in the final
+    dropDuplicates — identical exact values, so dedupe order is
+    immaterial; if exact-verify cost ever dominates, dedupe the skinny
+    (vec_a, vec_b) pairs BEFORE the verify at the price of re-joining
+    vectors."""
+    base = (
+        df.select(F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(t).alias("band"),
+            hyperplane_bucket(F.col("v"), n_planes,
+                              plane_offset=t * n_planes).alias("bucket"),
+        )
+        for t in range(n_bands)
+    ])
+    e = base.withColumn("bb", F.explode(bands)).select(
+        "vec_id", "v", "nrm", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"), "band", "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"), "band", "bucket")
+    pairs = a.join(b, ["band", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = int_dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.withColumn("cos_x1e6", F.floor(cos * 1000000.0).cast("long"))
+        .filter(F.col("cos_x1e6") >= threshold_x1e6)
+        .select("vec_a", "vec_b", "cos_x1e6")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -943,6 +943,63 @@ WHERE floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 100000
 """
 
 
+def q_dedup_embedding_cosine_multiprobe(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Multi-probe (OR-construction) embedding near-dup: 3 independent
+    4-plane bands — candidates share a bucket in ANY band, catching
+    near-dup pairs that straddle a single band's hyperplane boundary
+    (band 0 ≡ the single-probe query's planes, so this is a strict
+    candidate superset at the same 0.30 threshold). Engine op:
+    operators/ann.cosine_near_dup_multiprobe."""
+    from tapdata_connectors_spark.operators import ann
+
+    return ann.cosine_near_dup_multiprobe(
+        _t(spark, sf_dir, "embeddings"), threshold_x1e6=300_000,
+        n_planes=4, n_bands=3,
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE_MULTIPROBE = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), planes AS (
+  SELECT vec_id, v, unnest(range(0,12)) AS p FROM scaled
+), dots AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(v)+1),
+           i -> v[i] * ((('0x' || substr(md5('pl' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)
+         )) > 0 AS bit
+  FROM planes
+), bkt AS (
+  SELECT vec_id, CAST(p // 4 AS BIGINT) AS band,
+         CAST(sum(CASE WHEN bit THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // 4
+), normed AS (
+  SELECT b.vec_id, b.band, b.bucket, s.v,
+         list_sum(list_transform(s.v, x -> x * x)) AS nrm
+  FROM bkt b JOIN scaled s USING (vec_id)
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM normed a JOIN normed b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), verified AS (
+  SELECT p.vec_a, p.vec_b,
+         CAST(list_sum(list_transform(list_zip(sa.v, sb.v), z -> z[1] * z[2])) AS BIGINT) AS dot,
+         list_sum(list_transform(sa.v, x -> x * x)) AS na,
+         list_sum(list_transform(sb.v, x -> x * x)) AS nb
+  FROM pairs p
+  JOIN scaled sa ON sa.vec_id = p.vec_a
+  JOIN scaled sb ON sb.vec_id = p.vec_b
+)
+SELECT vec_a, vec_b,
+       CAST(floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS cos_x1e6
+FROM verified
+WHERE floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) >= 300000
+"""
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image pipeline over opaque binary columns: each
     document's utf-8 bytes are packed as a FIMG grayscale blob
@@ -1133,6 +1190,7 @@ QUERIES.update({
     "embedding_ivf_assign": q_embedding_ivf_assign,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_multiprobe": q_dedup_embedding_cosine_multiprobe,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "resume_from_timestamp": q_resume_from_timestamp,
@@ -1148,6 +1206,7 @@ ORACLE_SQL.update({
     "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "dedup_embedding_cosine_multiprobe": SQL_DEDUP_EMBEDDING_COSINE_MULTIPROBE,
     "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,

@@ -164,3 +164,57 @@ def test_cosine_near_dup_vs_python(spark):
                     want[(a, b)] = c
     assert want  # clustered fixture must yield near-dup pairs
     assert got == want
+
+
+def _py_cos_pairs(vecs, threshold_x1e6):
+    """Exact brute-force near-dup ground truth (python oracle)."""
+    import math
+
+    sv = {i: _scale(v) for i, v in vecs}
+    out = set()
+    ids = sorted(sv)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            dot = sum(x * y for x, y in zip(sv[a], sv[b]))
+            na = sum(x * x for x in sv[a])
+            nb = sum(x * x for x in sv[b])
+            cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            if math.floor(cos * 1000000) >= threshold_x1e6:
+                out.add((a, b))
+    return out
+
+
+def test_multiprobe_recall_strictly_higher(spark):
+    """OR-construction must (a) produce a SUPERSET of single-probe's
+    pairs at the same threshold (band 0 uses single-probe's planes), (b)
+    strictly improve recall vs the exact ground truth on a fixture where
+    single-probe's one hyperplane cut splits true near-dup pairs, and
+    (c) never emit a false positive (every pair is exact-verified)."""
+    vecs = _vecs(120, seed=3)
+    df = _df(spark, vecs)
+    thr = 300_000
+    truth = _py_cos_pairs(vecs, thr)
+    single = {(r["vec_a"], r["vec_b"])
+              for r in ann.cosine_near_dup(df, thr, n_planes=4).collect()}
+    multi = {(r["vec_a"], r["vec_b"])
+             for r in ann.cosine_near_dup_multiprobe(
+                 df, thr, n_planes=4, n_bands=3).collect()}
+    assert single <= multi, "multi-probe must be a candidate superset"
+    assert single <= truth and multi <= truth, "no false positives"
+    assert len(multi) > len(single), (
+        f"multi-probe must strictly improve recall "
+        f"(single={len(single)}, multi={len(multi)}, truth={len(truth)})"
+    )
+    recall_s = len(single) / len(truth)
+    recall_m = len(multi) / len(truth)
+    assert recall_m > recall_s
+
+
+def test_multiprobe_pairs_unique(spark):
+    """Pairs colliding in several bands must emit exactly once."""
+    vecs = _vecs(60, seed=5)
+    rows = ann.cosine_near_dup_multiprobe(
+        _df(spark, vecs), 300_000, n_planes=4, n_bands=3).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))

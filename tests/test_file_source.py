@@ -96,3 +96,36 @@ def test_parse_kafka_events_json_mapping(spark):
     bad = spark.createDataFrame([(b"{not json",)], "value binary")
     r = parse_kafka_events(bad).collect()[0]
     assert r["url"] is None and r["op"] is None
+
+
+def test_kafka_stream_options_contract():
+    """Jar-free contract test of the readStream wiring (VERDICT r2 item
+    9): the exact option map handed to format('kafka'), including the
+    per-partition-offset resume form and backpressure, with validation
+    errors for the malformed cases."""
+    from tapdata_connectors_spark.sources.file_source import kafka_stream_options
+
+    opts = kafka_stream_options("b1:9092,b2:9092", "cdc_topic")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "cdc_topic",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+    }
+    # resume from saved per-partition offsets (KafkaOffset.java analog)
+    opts = kafka_stream_options(
+        "b:9092", "t", starting_offsets='{"t": {"0": 1234, "1": 99}}',
+        max_offsets_per_trigger=50_000,
+    )
+    assert opts["startingOffsets"] == '{"t": {"0": 1234, "1": 99}}'
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="required"):
+        kafka_stream_options("", "t")
+    with _pytest.raises(ValueError, match="offset JSON"):
+        kafka_stream_options("b:9092", "t", starting_offsets="bogus")
+    with _pytest.raises(ValueError, match="keyed by topic"):
+        kafka_stream_options("b:9092", "t", starting_offsets="[1,2]")
+    with _pytest.raises(ValueError, match="positive"):
+        kafka_stream_options("b:9092", "t", max_offsets_per_trigger=0)
