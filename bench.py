@@ -207,8 +207,11 @@ SCALING_STAGING = f"{SCRATCH}/scl_ev_{SCALING_EVENTS}_kb{HTML_KB}"
 # going 1 → 4 cores). Epoch size grows 4× too, so BOTH legs stage exactly
 # 4 epochs → each leg is ONE chunk job + one final compaction; per-leg
 # fixed costs (plan build, commit, compaction tail) are structurally
-# identical, which is what makes t_lo/t_hi a clean efficiency.
-SCALING_STAGING_4X = f"{SCRATCH}/scl_ev_{4 * SCALING_EVENTS}_kb{HTML_KB}"
+# identical, which is what makes t_lo/t_hi a clean efficiency. The path
+# matches ensure_staged's naming: at the default 1M small leg the 4× leg
+# (4M, 1M-event epochs, same generator params and seed) is byte-identical
+# to the sf0.1 headline input, so the staging is shared.
+SCALING_STAGING_4X = f"{SCRATCH}/ev_{4 * SCALING_EVENTS}_kb{HTML_KB}"
 
 
 def _stage(n_events: int, path: str) -> None:

@@ -230,8 +230,11 @@ IMAGE_META_SCHEMA = ("id long, width int, height int, n_pixels long, "
 
 def image_meta(df: DataFrame, id_col: str = "id",
                bin_col: str = "img") -> DataFrame:
-    """(id, width, height, n_pixels, sum_px) per FIMG blob — the typed
-    metadata extraction stage. Map-only; bytes never leave the task."""
+    """(id, width, height, n_pixels, sum_px) per FIMG/PNG blob — the
+    typed metadata extraction stage. Map-only; bytes never leave the
+    task. The per-row loop inside each Arrow batch IS the decode
+    (variable-length binary cannot vectorize across rows); serde stays
+    batched through Arrow either way."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

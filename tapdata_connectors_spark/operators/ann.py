@@ -230,6 +230,60 @@ def ivf_assign(df: DataFrame, centroids: list[list[int]],
     )
 
 
+def ann_ivf_topk(df: DataFrame, centroids: list[list[int]],
+                 n_queries: int = 3, k: int = 5, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """IVF search: the probe-and-search half that ivf_train/ivf_assign
+    exist for (FAISS IndexIVF topology). Corpus vectors live in inverted
+    lists keyed by their nearest centroid (map-only assignment over
+    literal broadcast centroids); each query probes its `nprobe` nearest
+    centroids and exact-reranks ONLY those lists by integer dot product.
+
+    Scale shape: assignment and probe selection are map-only; the
+    candidate join is an equi-join on centroid_id with the (queries ×
+    nprobe) frame broadcast — work ∝ probed-list sizes, never
+    all-pairs; ranking is a per-query window over candidates only.
+    Recall is tuned by nprobe exactly as in FAISS (nprobe = k_clusters
+    recovers exact brute force)."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
+    )
+    assigned = base.withColumn("cid", assign_col(F.col("v"), centroids)["cid"])
+    # nprobe nearest centroids per query: array_sort on struct(d2, cid)
+    # orders by distance then centroid id — deterministic probe lists
+    probe_pairs = F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    qp = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("p", F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)))
+        .select("query_id", "qv", F.col("p.cid").alias("cid"))
+    )
+    cand = (
+        assigned.join(F.broadcast(qp), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", int_dot(F.col("qv"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"), "dot")
+    )
+
+
 def ivf_train(df: DataFrame, k: int = 4, iters: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> list[list[int]]:

@@ -272,6 +272,50 @@ FROM orders GROUP BY 1
 _PK_RANGE_FRACS = [i / 8.0 for i in range(1, 8)]
 
 
+def pk_range_chunks(df: DataFrame, key_col: str, n_chunks: int = 8,
+                    exact: bool = True, accuracy: int = 10_000) -> DataFrame:
+    """PK-range splitter operator: equal-depth half-open chunks
+    `(lo, hi]` over a numeric key, via quantile boundary discovery +
+    map-only chunk assignment (reference:
+    DatabaseReadPartitionSplitter.java:137-230 splitByRange).
+
+    exact=True uses Spark's exact `percentile` — bit-reproducible (and
+    DuckDB-oracle-matchable), but its aggregation buffer holds a
+    value→count map of ALL distinct keys, so the final partial-merge
+    task needs O(distinct) memory: fine at sandbox scale, NOT the
+    10^10-key shape. exact=False is the scale path: `percentile_approx`
+    (Greenwald-Khanna sketch, memory bounded by `accuracy`, mergeable
+    map-side partials — the distributed analog of the reference's
+    recursive min/max sampling). Both modes emit the identical chunk
+    contract; only boundary placement may differ by the sketch's rank
+    error (≤ n/accuracy)."""
+    o = df.select(key_col)
+    fracs = [i / float(n_chunks) for i in range(1, n_chunks)]
+    pct = (
+        F.percentile(F.col(key_col), F.lit(fracs)) if exact
+        else F.percentile_approx(F.col(key_col), F.lit(fracs), F.lit(accuracy))
+    )
+    bounds = o.agg(
+        F.transform(pct, lambda x: F.floor(x).cast("bigint")).alias("bs")
+    )
+    return (
+        o.join(F.broadcast(bounds))
+        .withColumn(
+            "chunk",
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("bs"), lambda b: b < F.col(key_col)))
+            ).cast("int"),
+        )
+        .groupBy("chunk")
+        .agg(
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_snapshot_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK-range chunked scan (readPartition ranges): equal-depth range
     boundaries over the primary key via SAMPLED quantile boundaries — each
@@ -290,30 +334,12 @@ def q_snapshot_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; rows AT a boundary close the lower chunk — half-open ranges) is
     integer-exact: fractions i/8 are dyadic so the interpolation
     arithmetic is exact in doubles for integer keys, and the oracle
-    reproduces it bit-for-bit with quantile_cont."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    bounds = o.agg(
-        F.transform(
-            F.percentile(F.col("o_orderkey"), F.lit(_PK_RANGE_FRACS)),
-            lambda x: F.floor(x).cast("bigint"),
-        ).alias("bs")
-    )
-    return (
-        o.join(F.broadcast(bounds))
-        .withColumn(
-            "chunk",
-            (
-                F.lit(1)
-                + F.size(F.filter(F.col("bs"), lambda b: b < F.col("o_orderkey")))
-            ).cast("int"),
-        )
-        .groupBy("chunk")
-        .agg(
-            F.min("o_orderkey").alias("lo"),
-            F.max("o_orderkey").alias("hi"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
+    reproduces it bit-for-bit with quantile_cont. This registry entry
+    runs the operator in exact mode (oracle parity); pk_range_chunks
+    exact=False is the bounded-memory 10^10-key sketch path with the
+    same chunk contract."""
+    return pk_range_chunks(_t(spark, sf_dir, "orders"), "o_orderkey",
+                           n_chunks=8, exact=True)
 
 
 _PK_RANGE_FRACS_SQL = ", ".join(str(f) for f in _PK_RANGE_FRACS)
@@ -854,6 +880,65 @@ WHERE rn = 1
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-and-search top-k (queries = vec_id < 3, k = 5,
+    nprobe = 2 of 4 seed centroids): corpus in inverted lists by nearest
+    centroid, each query exact-reranks only its probed lists — the FAISS
+    IndexIVF search shape. Centroids here are the deterministic seed
+    vectors 0..3 so the oracle can reproduce them in SQL (real Lloyd
+    training is ann.ivf_train, pytest-gated: iterative k-means is not
+    SQL-expressible). Engine op: operators/ann.ann_ivf_topk."""
+    from tapdata_connectors_spark.operators import ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [list(r["v"]) for r in
+             e.select("vec_id", _scaled_vec().alias("v"))
+             .filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    return ann.ann_ivf_topk(e, cents, n_queries=3, k=5, nprobe=2)
+
+
+SQL_ANN_IVF_TOPK = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM scaled WHERE vec_id < 4
+), asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(s.v)+1),
+                       i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))) ASC, c.cid ASC
+           ) AS rn
+    FROM scaled s, cents c)
+  WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.v)+1),
+                       i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) ASC, c.cid ASC
+           ) AS rn
+    FROM scaled q, cents c WHERE q.vec_id < 3)
+  WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(list_sum(list_transform(list_zip(qs.v, s.v), z -> z[1]*z[2])) AS BIGINT) AS dot
+  FROM probes p
+  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN scaled qs ON qs.vec_id = p.query_id
+  JOIN scaled s ON s.vec_id = a.vec_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id, dot
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rn
+      FROM cand)
+WHERE rn <= 5
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (queries = vec_id < 3, k = 5,
     4 hyperplanes): candidates only within the query's bucket, exact
@@ -1188,6 +1273,7 @@ QUERIES.update({
     "lang_id_stopword": q_lang_id_stopword,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_ivf_assign": q_embedding_ivf_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_multiprobe": q_dedup_embedding_cosine_multiprobe,
@@ -1204,6 +1290,7 @@ ORACLE_SQL.update({
     "lang_id_stopword": SQL_LANG_ID_STOPWORD,
     "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
     "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_multiprobe": SQL_DEDUP_EMBEDDING_COSINE_MULTIPROBE,

@@ -782,6 +782,10 @@ class CdcPipeline:
         )
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
+            # bounded driver collect: batch_df holds EPOCH MARKER lines
+            # (one tiny string per epoch, ≤ max_epochs_per_trigger rows
+            # per trigger), never event data — the driver round-trip is
+            # O(epochs/trigger), independent of event volume
             eps = sorted(
                 (int(r["value"].split()[0]), "ddl" in r["value"])
                 for r in batch_df.collect()

@@ -218,3 +218,57 @@ def test_multiprobe_pairs_unique(spark):
         _df(spark, vecs), 300_000, n_planes=4, n_bands=3).collect()
     pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def _py_ivf_topk(vecs, cents, n_queries, k, nprobe):
+    sv = {i: _scale(v) for i, v in vecs}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    asg = {i: min(range(len(cents)), key=lambda c: (d2(v, cents[c]), c))
+           for i, v in sv.items()}
+    out = {}
+    for q in range(n_queries):
+        probes = sorted(range(len(cents)),
+                        key=lambda c: (d2(sv[q], cents[c]), c))[:nprobe]
+        cand = [i for i, c in asg.items() if c in probes and i != q]
+        scored = sorted(
+            ((sum(x * y for x, y in zip(sv[q], sv[i])), i) for i in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        out[q] = [(rank + 1, i, dot) for rank, (dot, i) in enumerate(scored)]
+    return out
+
+
+def test_ivf_topk_matches_python_oracle(spark):
+    vecs = _vecs(90, seed=9)
+    cents = [_scale(v) for i, v in vecs[:4]]
+    got = {}
+    rows = ann.ann_ivf_topk(_df(spark, vecs), cents, n_queries=3, k=5,
+                            nprobe=2).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dot"]))
+    for q in got:
+        got[q].sort()
+    assert got == _py_ivf_topk(vecs, cents, 3, 5, 2)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe == n_centroids searches every inverted list — results must
+    equal exact brute-force top-k (the FAISS recall-knob contract)."""
+    vecs = _vecs(60, seed=13)
+    cents = [_scale(v) for i, v in vecs[:4]]
+    full = ann.ann_ivf_topk(_df(spark, vecs), cents, n_queries=2, k=4,
+                            nprobe=4).collect()
+    sv = {i: _scale(v) for i, v in vecs}
+    for q in range(2):
+        brute = sorted(
+            ((sum(x * y for x, y in zip(sv[q], sv[i])), i)
+             for i in sv if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        got = sorted([(r["rank"], r["neighbor_id"], r["dot"])
+                      for r in full if r["query_id"] == q])
+        assert got == [(rk + 1, i, d) for rk, (d, i) in enumerate(brute)]

@@ -141,3 +141,30 @@ def test_merge_broadcast_and_shuffle_plans_agree(spark, tmpdir_, monkeypatch):
     oracle = oracle_replay(ev.collect())
     assert_state_equal(p1.table.read(), oracle)
     assert_state_equal(p2.table.read(), oracle)
+
+
+def test_pk_range_chunks_approx_contract(spark):
+    """The sketch-backed (exact=False) splitter must emit the same chunk
+    CONTRACT as the exact mode: n half-open ranges covering every row,
+    disjoint bounds, counts summing to the table, and roughly balanced
+    depth (Greenwald-Khanna rank error ≤ n/accuracy)."""
+    import os
+
+    from tapdata_connectors_spark.queries import pk_range_chunks
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = orders.count()
+    rows = sorted(
+        pk_range_chunks(orders, "o_orderkey", n_chunks=8, exact=False,
+                        accuracy=1000).collect(),
+        key=lambda r: r["chunk"],
+    )
+    assert [r["chunk"] for r in rows] == list(range(1, 9))
+    assert sum(r["n_rows"] for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"]  # disjoint, ordered ranges
+    # balance: every chunk within 2x of ideal depth at accuracy=1000
+    ideal = total / 8
+    for r in rows:
+        assert r["n_rows"] < 2 * ideal
