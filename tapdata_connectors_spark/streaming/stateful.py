@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator: CDC sequence-continuity monitor.
+
+The reference tracks stream liveness and offset continuity per source
+(heartbeat mode + the binlog position bookkeeping in
+MysqlReader.java:268,291-292 / MysqlStreamOffset; a gap in applied
+positions means lost events between the log and the target). This module
+is the Spark-native stateful version, built on
+`applyInPandasWithState` — the engine's one genuinely stateful streaming
+operator (everything else deliberately uses the order+idempotence design
+instead of watermarked state, SURVEY.md §2.11):
+
+per group key (source / table / shard), persistent GroupState holds
+`(lo, hi, n)` — the lowest and highest sequence seen and the count of
+events — updated Arrow-batch-at-a-time as micro-batches arrive. Each
+trigger emits the group's running continuity row:
+
+    key, lo_seq, hi_seq, n_events, missing = (hi - lo + 1) - n
+
+`missing == 0` ⟺ the key's sequence range is gap-free (sequences are
+unique per key — binlog positions are). A positive `missing` is the
+lost-events alarm; it can shrink as late/out-of-order events arrive
+(the monitor never assumes order), and exactly-once replay of whole
+epochs keeps duplicates out upstream.
+
+Scale shape: state per key is three longs — O(#sources), not O(events);
+updates are per-Arrow-batch pandas min/max/len, no per-row Python. The
+state store shuffles by key once per trigger — the same exchange any
+stateful operator pays.
+
+Non-SQL-expressible by design (persistent cross-trigger state), so the
+correctness gate is the pytest streaming fixture, not a DuckDB oracle —
+the driver-contract rule for custom stateful streaming ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("key string, lo_seq long, hi_seq long, n_events long, "
+                 "missing long")
+STATE_SCHEMA = "lo long, hi long, n long"
+
+
+def _update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        lo, hi, n = state.get
+    else:
+        lo = hi = None
+        n = 0
+    for pdf in pdfs:
+        s = pdf["seq"]
+        if len(s) == 0:
+            continue
+        blo, bhi = int(s.min()), int(s.max())
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+        n += int(len(s))
+    state.update((lo, hi, n))
+    missing = (hi - lo + 1) - n if n else 0
+    yield pd.DataFrame(
+        [(str(key[0]), lo, hi, n, missing)],
+        columns=["key", "lo_seq", "hi_seq", "n_events", "missing"],
+    )
+
+
+def seq_continuity_monitor(
+    events: DataFrame,
+    key_col: str = "epoch",
+    seq_col: str = "event_seq",
+) -> DataFrame:
+    """Attach the stateful continuity monitor to a STREAMING events frame
+    (EVENTS_SCHEMA or anything carrying `key_col` + a unique-per-key
+    `seq_col`). Returns the streaming continuity frame (update mode)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
