@@ -752,6 +752,42 @@ FROM per_bit GROUP BY doc_id
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (banded buckets + exact Hamming ≤ 3):
+    by pigeonhole, a pair within Hamming 3 of a 60-bit simhash must agree
+    exactly on one of 4 disjoint 15-bit slices — banding has 100% recall
+    for the verified predicate (unlike probabilistic LSH). Engine op:
+    operators/corpus.simhash_near_dup."""
+    return corpus.simhash_near_dup(_t(spark, sf_dir, "documents"),
+                                   bits=60, n_bands=4, max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h, unnest(range(0,60)) AS b
+  FROM tok
+), per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+), e AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bv
+  FROM (SELECT doc_id, simhash, unnest(range(0,4)) AS band FROM sh)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM e a JOIN e b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 _LANG_MARKERS = corpus.LANG_MARKERS
 
 
@@ -1277,6 +1313,7 @@ QUERIES.update({
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_multiprobe": q_dedup_embedding_cosine_multiprobe,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "resume_from_timestamp": q_resume_from_timestamp,
@@ -1294,6 +1331,7 @@ ORACLE_SQL.update({
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_multiprobe": SQL_DEDUP_EMBEDDING_COSINE_MULTIPROBE,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,

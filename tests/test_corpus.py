@@ -296,3 +296,39 @@ def test_enrichment_bootstrap(spark, tmpdir_):
         F.col("fingerprint") != corpus.fingerprint(F.col("text"))
     ).count()
     assert bad == 0
+
+
+def test_simhash_near_dup_pigeonhole_recall(spark):
+    """Banded simhash near-dup must find EVERY pair within max_hamming
+    (pigeonhole: Hamming ≤ n_bands-1 forces exact agreement on ≥1 band)
+    and verify exactly — compare against brute force over the simhashes."""
+    docs = []
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    for i in range(40):
+        words = base.split()
+        # small perturbations -> clusters of near-identical fingerprints
+        if i % 4:
+            words[i % len(words)] = f"w{i}"
+        docs.append(Row(doc_id=i, text=" ".join(words)))
+    df = spark.createDataFrame(docs)
+    sh = {r["doc_id"]: r["simhash"] for r in corpus.simhash(df).collect()}
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh for b in sh if a < b
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in corpus.simhash_near_dup(df, n_bands=4, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute, "fixture must actually contain near-dup pairs"
+
+
+def test_simhash_near_dup_guards():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        corpus.simhash_near_dup(None, n_bands=4, max_hamming=4)
+    with _pytest.raises(ValueError, match="divide"):
+        corpus.simhash_near_dup(None, bits=60, n_bands=7, max_hamming=3)
