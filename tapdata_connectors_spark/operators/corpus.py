@@ -39,6 +39,39 @@ def tokens(text_col: Column) -> Column:
     return F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
 
 
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text_col: Column) -> Column:
+    """BPE-style pre-tokenization (the GPT-2 pre-tokenizer's shape,
+    restricted to an RE2/Java-portable core): letter runs, digit runs,
+    and single punctuation marks each become their own token — the
+    pre-split every byte-pair-encoding tokenizer applies before merges,
+    so counts here track real subword-tokenizer input lengths far better
+    than whitespace splitting ("don't!" -> [don, ', t, !] = 4 vs 1).
+    JVM regexp_extract_all; map-only."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_tokens_ws, n_tokens_bpe, bpe_per_ws_x1e3) per document —
+    the token-budget accounting a training-data pipeline runs before
+    feeding a tokenizer (whitespace count for legacy comparability, BPE
+    pre-token count for actual budget, ratio ×1e3 as an exact integer).
+    Map-only JVM expressions."""
+    ws = F.size(tokens(F.col(text_col))).cast("bigint")
+    bpe = F.size(bpe_tokens(F.col(text_col))).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        F.when(ws > 0, (bpe * 1000 / ws).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("bpe_per_ws_x1e3"),
+    )
+
+
 def md5_slice(col: Column, hexchars: int = 8) -> Column:
     """First `hexchars` md5 hex chars as BIGINT — the cross-engine hash
     (DuckDB equivalent: ('0x' || substr(md5(x), 1, n))::BIGINT; both stay

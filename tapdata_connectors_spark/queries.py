@@ -546,6 +546,26 @@ FROM documents GROUP BY lang
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budget with BPE-style pre-tokenization (letter
+    runs / digit runs / single punctuation — the GPT-2 pre-split shape,
+    RE2+Java-portable core) next to the whitespace count, ratio as an
+    exact integer ×1e3. Engine op: operators/corpus.bpe_token_stats."""
+    return corpus.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT_BPE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_tokens_bpe,
+       CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) > 0
+            THEN CAST((CAST(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) * 1000)
+                 // CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS BIGINT)
+            ELSE NULL END AS bpe_per_ws_x1e3
+FROM documents
+"""
+
+
 def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column: queries are
     vec_id < 3, k=5. All arithmetic in exact scaled integers (components
@@ -1277,6 +1297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
+    "token_count_bpe": q_token_count_bpe,
     "knn_brute_cosine": q_knn_brute_cosine,
 }
 
@@ -1299,6 +1320,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "knn_brute_cosine": SQL_KNN_BRUTE_COSINE,
 }
 

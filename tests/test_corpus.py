@@ -332,3 +332,21 @@ def test_simhash_near_dup_guards():
         corpus.simhash_near_dup(None, n_bands=4, max_hamming=4)
     with _pytest.raises(ValueError, match="divide"):
         corpus.simhash_near_dup(None, bits=60, n_bands=7, max_hamming=3)
+
+
+def test_bpe_tokens_presplit_shape(spark):
+    """BPE pre-tokenization vs whitespace on the canonical cases:
+    contractions, punctuation and digit runs split into their own
+    tokens, so counts track real subword-tokenizer input lengths."""
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="don't stop!"),
+        Row(doc_id=1, text="v2.0 has 100x speedup"),
+        Row(doc_id=2, text=""),
+    ])
+    out = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"], r["bpe_per_ws_x1e3"])
+           for r in corpus.bpe_token_stats(df).collect()}
+    # "don't stop!" -> ws [don't, stop!] ; bpe [don, ', t, stop, !]
+    assert out[0] == (2, 5, 2500)
+    # "v2.0 has 100x speedup" -> ws 4 ; bpe [v, 2, ., 0, has, 100, x, speedup]
+    assert out[1] == (4, 8, 2000)
+    assert out[2] == (0, 0, None)
