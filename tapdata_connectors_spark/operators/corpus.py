@@ -376,6 +376,23 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_dup_losers(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 60,
+                       n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """(id, survivor_id): every doc within `max_hamming` of a smaller-id
+    doc, paired with its smallest such counterpart — the one-sweep
+    min-neighbor dedup policy (same shape as near_dup_losers), backed by
+    the pigeonhole-exact banded candidate join."""
+    pairs = simhash_near_dup(df, id_col=id_col, text_col=text_col,
+                             bits=bits, n_bands=n_bands,
+                             max_hamming=max_hamming)
+    return (
+        pairs.groupBy("doc_b")
+        .agg(F.min("doc_a").alias("survivor_id"))
+        .select(F.col("doc_b").alias(id_col), "survivor_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # language ID
 # ---------------------------------------------------------------------------

@@ -21,8 +21,10 @@ touched buckets' base+delta files exactly like the MOR compactor, so:
 
 Scale: the exact scan is one shuffle on the content digest; minhash is
 the two-phase LSH candidate → exact-Jaccard verify shape with ONE
-tokenize+hash pass (corpus.near_dup_losers); the rewrite is ∝ the
-touched buckets, never the whole table.
+tokenize+hash pass (corpus.near_dup_losers); simhash is the banded
+Hamming near-dup with pigeonhole-exact recall
+(corpus.simhash_dup_losers); the rewrite is ∝ the touched buckets,
+never the whole table.
 """
 
 from __future__ import annotations
@@ -57,7 +59,9 @@ def find_dup_pages(pipe, method: str = "exact",
         return corpus.near_dup_losers(
             live, cfg or corpus.MinHashConfig(), id_col=key, text_col=text_name
         )
-    raise ValueError(f"unknown dedup method {method!r} (exact|minhash)")
+    if method == "simhash":
+        return corpus.simhash_dup_losers(live, id_col=key, text_col=text_name)
+    raise ValueError(f"unknown dedup method {method!r} (exact|minhash|simhash)")
 
 
 def dedup_pages(pipe, method: str = "exact",

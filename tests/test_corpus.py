@@ -350,3 +350,27 @@ def test_bpe_tokens_presplit_shape(spark):
     # "v2.0 has 100x speedup" -> ws 4 ; bpe [v, 2, ., 0, has, 100, x, speedup]
     assert out[1] == (4, 8, 2000)
     assert out[2] == (0, 0, None)
+
+
+def test_dedup_pages_simhash(spark, tmpdir_):
+    """simhash curation stage: a near-identical page (one word changed in
+    a long text) tombstones against the smaller-url survivor; unrelated
+    pages stay."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    near = base.replace("sigma", "sigmaX", 1)
+    pages = [
+        ("u/a", _H.format(base)),
+        ("u/b", _H.format(near)),          # near-dup of u/a
+        ("u/c", _H.format("completely different text about other topics entirely")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    losers = {(r["url"], r["survivor_id"])
+              for r in find_dup_pages(pipe, "simhash").collect()}
+    assert losers == {("u/b", "u/a")}
+    rep = dedup_pages(pipe, "simhash", tag="s1")
+    assert rep["n_losers"] == 1
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    assert left == {"u/a", "u/c"}
+    # idempotent per tag
+    assert dedup_pages(pipe, "simhash", tag="s1").get("skipped")
