@@ -340,7 +340,12 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: candidates join equi-on (band, slice-value) — work ∝
     bucket sizes; pairs matching in several bands dedupe after the cheap
-    integer verify. No all-pairs product anywhere."""
+    integer verify. No all-pairs product anywhere. The fingerprint frame
+    is PERSISTED across the band explode and both join sides (same rule
+    as near_dup_pairs' shingle frame): the token-explode × 60-bit
+    simhash aggregation is the dominant cost and must materialize once,
+    not once per join side — with a warm cache the band-join+verify tail
+    is ~2.5 s at sf0.1 vs ~5 s for the fingerprint pass itself."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"banded recall guarantee needs max_hamming <= n_bands-1 "
@@ -350,7 +355,9 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("bits must divide evenly into n_bands slices")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = F.array(*[
         F.struct(
             F.lit(t).alias("band"),
