@@ -94,7 +94,19 @@ def _tokenize(sql: str) -> list[str]:
             out.append(sql[i : j + 1])
             i = j + 1
         elif ch == "(":
-            j = sql.index(")", i)
+            # nest-aware: "(a decimal(5,2), b int)" is ONE token ending at
+            # the matching close paren, not the first ")"
+            depth, j = 0, i
+            while j < n:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError(f"unbalanced parentheses in DDL: {sql!r}")
             out.append(sql[i : j + 1])
             i = j + 1
         else:
@@ -153,6 +165,25 @@ def _parse_specs(toks: list[str]) -> dict:
     return out
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses — `a decimal(5,2), b int`
+    must not break inside the type args."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
 def _event(kind: str, **kw) -> dict:
     base = {"kind": kind, "column": None, "new_name": None, "new_type": None,
             "new_default": None, "not_null": None, "comment": None}
@@ -196,6 +227,30 @@ def parse_ddl(sql: str) -> list[dict]:
                 f"unsupported ALTER TABLE operation 'add {toks[i].lower()}': {sql!r}"
             )
         i = skip_column_kw(i)
+        if i < len(toks) and toks[i].startswith("("):
+            # multi-column form: ADD COLUMN (a int not null, b text ...) —
+            # the reference iterates colDataTypeList the same way
+            # (MysqlAddColumnDDLWrapper.java:50); one event per column,
+            # source order preserved
+            inner = toks[i][1:-1]
+            out = []
+            for part in _split_top_commas(inner):
+                ptoks = _tokenize(part)
+                if len(ptoks) < 2:
+                    raise ValueError(
+                        f"ADD COLUMN list entry needs a name and type: {part!r}"
+                    )
+                pt, j = ptoks[0], 1
+                ty = ptoks[1]
+                if j + 1 < len(ptoks) and ptoks[j + 1].startswith("("):
+                    ty, j = ty + ptoks[j + 1], j + 1
+                out.append(_event(
+                    "ADD_COLUMN", column=_unquote(pt),
+                    new_type=map_sql_type(ty), **_parse_specs(ptoks[j + 1:]),
+                ))
+            if not out:
+                raise ValueError(f"empty ADD COLUMN list: {sql!r}")
+            return out
         if i + 1 >= len(toks):
             raise ValueError(f"ADD COLUMN needs a name and type: {sql!r}")
         col = _unquote(toks[i])

@@ -130,3 +130,21 @@ def test_parsed_ddl_drives_real_schema_evolution(spark, tmpdir_):
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert types["view_count"] == "bigint"
     assert df.filter("view_count is not null").count() > 0
+
+
+def test_add_multiple_columns_list_form():
+    """MySQL's parenthesized multi-column ADD — the reference iterates
+    colDataTypeList the same way (MysqlAddColumnDDLWrapper.java:50)."""
+    ev = parse_ddl(
+        "alter table t add column (a decimal(5,2) not null, "
+        "b text comment 'notes', c tinyint(1))"
+    )
+    assert [(e["kind"], e["column"], e["new_type"]) for e in ev] == [
+        ("ADD_COLUMN", "a", "decimal(5,2)"),
+        ("ADD_COLUMN", "b", "string"),
+        ("ADD_COLUMN", "c", "boolean"),
+    ]
+    assert ev[0]["not_null"] is True
+    assert ev[1]["comment"] == "notes"
+    with pytest.raises(ValueError, match="name and type"):
+        parse_ddl("alter table t add column (a)")
