@@ -341,9 +341,23 @@ class LakeTable:
         f.name = new
         self._commit_ddl(m, {"op": "rename_column", "from": old, "to": new}, epoch_key)
 
-    def widen_column(self, name: str, new_type: str, epoch_key: str | None = None) -> None:
-        """TapAlterFieldAttributesEvent type-widen analog
-        (MysqlAlterColumnAttrsDDLWrapper.java); only lossless widenings."""
+    def widen_column(
+        self,
+        name: str,
+        new_type: str,
+        epoch_key: str | None = None,
+        default: str | None = None,
+        not_null: bool | None = None,
+        comment: str | None = None,
+    ) -> None:
+        """TapAlterFieldAttributesEvent analog
+        (MysqlAlterColumnAttrsDDLWrapper.java): type change (lossless
+        widenings only) PLUS the attribute changes the reference bundles
+        into the same event — nullability, default, comment (golden
+        fixture DDLFactoryTest.java:130). `None` means "not specified in
+        the DDL" and leaves the stored attribute unchanged; an updated
+        `default` becomes the initial default pre-ADD rows read back
+        (same Iceberg-style rule as add_column)."""
         m = self.manifest()
         if epoch_key is not None and epoch_key in m.applied_epochs:
             return
@@ -351,7 +365,18 @@ class LakeTable:
         if f.type != new_type and (f.type, new_type) not in _WIDEN_OK:
             raise ValueError(f"illegal widen {f.type} -> {new_type} for {name}")
         f.type = new_type
-        self._commit_ddl(m, {"op": "widen_column", "column": name, "type": new_type}, epoch_key)
+        if not_null is not None:
+            f.nullable = not not_null
+        if default is not None:
+            f.default = default
+        if comment is not None:
+            f.comment = comment
+        self._commit_ddl(
+            m,
+            {"op": "widen_column", "column": name, "type": new_type,
+             "default": default, "not_null": not_null, "comment": comment},
+            epoch_key,
+        )
 
     def drop_column(self, name: str, epoch_key: str | None = None) -> None:
         """TapDropFieldEvent analog (MysqlDropColumnDDLWrapper.java) →

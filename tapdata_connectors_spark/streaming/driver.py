@@ -342,7 +342,13 @@ class CdcPipeline:
         elif kind == "RENAME_COLUMN":
             self.table.rename_column(ddl["column"], ddl["new_name"], epoch_key=epoch_key)
         elif kind == "TYPE_WIDEN":
-            self.table.widen_column(ddl["column"], ddl["new_type"], epoch_key=epoch_key)
+            # carries the reference's TapAlterFieldAttributesEvent bundle:
+            # nullability/default/comment ride along with the type change
+            self.table.widen_column(
+                ddl["column"], ddl["new_type"], epoch_key=epoch_key,
+                default=d.get("new_default"), not_null=d.get("not_null"),
+                comment=d.get("comment"),
+            )
         elif kind == "DROP_COLUMN":
             self.table.drop_column(ddl["column"], epoch_key=epoch_key)
         else:
