@@ -19,6 +19,7 @@ Everything is built-in JVM expressions; no Python in any per-row path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -135,7 +136,8 @@ def cosine_near_dup(df: DataFrame, threshold_x1e6: int = 300_000,
 def cosine_near_dup_multiprobe(df: DataFrame, threshold_x1e6: int = 300_000,
                                n_planes: int = 4, n_bands: int = 3,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               cache_registry: list | None = None) -> DataFrame:
     """OR-construction embedding near-dup (the recall path — VERDICT r2
     item 7): each vector is bucketed by `n_bands` INDEPENDENT hyperplane
     sets (band t uses planes t·n_planes..t·n_planes+n_planes-1 — the
@@ -148,18 +150,25 @@ def cosine_near_dup_multiprobe(df: DataFrame, threshold_x1e6: int = 300_000,
     this operator's candidate set is a strict SUPERSET at the same
     threshold.
 
-    Scale shape: the explode multiplies only the skinny (id, norm,
-    vector-ref) frame by n_bands; the self-join stays bucket-equi (work ∝
-    per-band bucket sizes, never all-pairs). Pairs colliding in several
-    bands verify once per colliding band and collapse in the final
-    dropDuplicates — identical exact values, so dedupe order is
-    immaterial; if exact-verify cost ever dominates, dedupe the skinny
-    (vec_a, vec_b) pairs BEFORE the verify at the price of re-joining
-    vectors."""
+    Scale shape: the explode multiplies only the SKINNY (id, band,
+    bucket) frame by n_bands; the self-join stays bucket-equi (work ∝
+    per-band bucket sizes, never all-pairs). Candidate pairs are DEDUPED
+    BEFORE the exact verify (VERDICT r3 item 3): a pair colliding in
+    several bands reaches the dot-product verify once, not once per band
+    — one distinct() on the skinny (vec_a, vec_b) frame, then the
+    vectors/norms join back in exactly once per side. The (id, vector,
+    norm) base frame is PERSISTED across the band computation and both
+    verify sides so scaled_vec/norms evaluate once; pass
+    `cache_registry` (a list) to own the release of that frame —
+    otherwise it stays cached for the session (fine for a one-shot
+    query, not for a long-lived curation service)."""
     base = (
         df.select(F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v"))
         .withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(base)
     bands = F.array(*[
         F.struct(
             F.lit(t).alias("band"),
@@ -169,22 +178,29 @@ def cosine_near_dup_multiprobe(df: DataFrame, threshold_x1e6: int = 300_000,
         for t in range(n_bands)
     ])
     e = base.withColumn("bb", F.explode(bands)).select(
-        "vec_id", "v", "nrm", F.col("bb.band").alias("band"),
+        "vec_id", F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"), "band", "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"), "band", "bucket")
-    pairs = a.join(b, ["band", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = (
+        e.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+        .join(e.select(F.col("vec_id").alias("vec_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    sa = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    sb = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
     cos = int_dot(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return (
-        pairs.withColumn("cos_x1e6", F.floor(cos * 1000000.0).cast("long"))
+        pairs.join(sa, "vec_a").join(sb, "vec_b")
+        .withColumn("cos_x1e6", F.floor(cos * 1000000.0).cast("long"))
         .filter(F.col("cos_x1e6") >= threshold_x1e6)
         .select("vec_a", "vec_b", "cos_x1e6")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

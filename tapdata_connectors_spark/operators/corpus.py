@@ -267,24 +267,48 @@ def jaccard_verify(docsh: DataFrame, cand: DataFrame,
 
 
 def near_dup_pairs(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
-                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   cache_registry: list | None = None) -> DataFrame:
     """Full two-phase near-dup: LSH candidates verified with exact Jaccard.
     The shingle frame is computed once and persisted across the LSH stage
-    and both verify-join sides (one tokenization pass total)."""
+    and both verify-join sides (one tokenization pass total).
+
+    `cache_registry` (VERDICT r3 item 4 — unpersist hygiene): when the
+    caller passes a list, every frame this operator persists is appended
+    to it and the CALLER owns the release (unpersist once the result has
+    materialized — curation.dedup_pages models the try/finally). When
+    None, the frame stays cached for the session (the right call for a
+    one-shot registry query; a long-lived curation service must pass the
+    registry or cached partitions accumulate until ContextCleaner GC)."""
     docsh = shingle_minhash(df, cfg, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cache_registry is not None:
+        cache_registry.append(docsh)
     return jaccard_verify(docsh, lsh_candidate_pairs(docsh, cfg), cfg)
 
 
 def near_dup_losers(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
-                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    closure: bool = False,
+                    cache_registry: list | None = None) -> DataFrame:
     """(id, survivor_id): every doc that is a verified near-duplicate of a
-    smaller-id doc, paired with its SMALLEST verified counterpart. One
-    greedy min-neighbor pass (not full transitive closure — at corpus
-    scale connected-components over dup edges is an iterative job;
-    min-neighbor matches the common one-sweep dedup policy)."""
-    pairs = near_dup_pairs(df, cfg, id_col, text_col).filter("is_dup")
+    smaller-id doc, paired with a surviving counterpart.
+
+    closure=False (default): one greedy min-neighbor sweep — each loser
+    pairs with its SMALLEST verified direct neighbor. The common one-pass
+    dedup policy, but a chain a~b~c (a≁c) can attribute c to the
+    non-surviving b, and a star 1~3, 2~3 keeps both 1 and 2.
+
+    closure=True: full transitive closure — losers are every non-minimum
+    member of a connected component of the verified dup graph, survivor =
+    the component's minimum id (dup_components; iterative min-label
+    propagation, the GraphFrames-free connected-components)."""
+    pairs = near_dup_pairs(df, cfg, id_col, text_col,
+                           cache_registry=cache_registry).filter("is_dup")
+    if closure:
+        return component_losers(pairs, id_col=id_col,
+                                cache_registry=cache_registry)
     return (
         pairs.groupBy("doc_b")
         .agg(F.min("doc_a").alias("survivor_id"))
@@ -324,7 +348,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", bits: int = 60,
-                     n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                     n_bands: int = 4, max_hamming: int = 3,
+                     cache_registry: list | None = None) -> DataFrame:
     """SimHash near-duplicate pairs: banded bucket join + exact Hamming
     verify (the classic web-dedup pipeline — Manku/Jain/Sarma's simhash
     crawl dedup shape; reference-side dedup compares full checksums,
@@ -338,14 +363,17 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
     there is no missed-pair probability. Verification is an integer
     bit_count over the XOR (exact, engine-independent).
 
-    Scale shape: candidates join equi-on (band, slice-value) — work ∝
-    bucket sizes; pairs matching in several bands dedupe after the cheap
-    integer verify. No all-pairs product anywhere. The fingerprint frame
-    is PERSISTED across the band explode and both join sides (same rule
-    as near_dup_pairs' shingle frame): the token-explode × 60-bit
-    simhash aggregation is the dominant cost and must materialize once,
-    not once per join side — with a warm cache the band-join+verify tail
-    is ~2.5 s at sf0.1 vs ~5 s for the fingerprint pass itself."""
+    Scale shape: candidates join equi-on (band, slice-value) over a
+    SKINNY (doc_id, band, bv) frame — work ∝ bucket sizes, no all-pairs
+    product anywhere. Candidate pairs are DEDUPED BEFORE the verify
+    (VERDICT r3 item 3): a pair colliding in several bands reaches the
+    Hamming check once, not once per band — one distinct() on the skinny
+    (doc_a, doc_b) frame, then the 60-bit fingerprints join back in. The
+    fingerprint frame is PERSISTED across the band explode and both
+    verify-join sides (same rule as near_dup_pairs' shingle frame): the
+    token-explode × 60-bit simhash aggregation is the dominant cost and
+    must materialize once. `cache_registry`: see near_dup_pairs — pass a
+    list to own the persisted frame's release."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"banded recall guarantee needs max_hamming <= n_bands-1 "
@@ -358,6 +386,8 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
     sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cache_registry is not None:
+        cache_registry.append(sh)
     bands = F.array(*[
         F.struct(
             F.lit(t).alias("band"),
@@ -366,37 +396,149 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
         for t in range(n_bands)
     ])
     e = sh.withColumn("bb", F.explode(bands)).select(
-        F.col("doc_id"), F.col("simhash"),
+        F.col("doc_id"),
         F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
     )
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
-                 "band", "bv")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
-                 "band", "bv")
+    pairs = (
+        e.select(F.col("doc_id").alias("doc_a"), "band", "bv")
+        .join(e.select(F.col("doc_id").alias("doc_b"), "band", "bv"),
+              ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, ["band", "bv"]).filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("hamming",
                     F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
 def simhash_dup_losers(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 60,
-                       n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                       n_bands: int = 4, max_hamming: int = 3,
+                       closure: bool = False,
+                       cache_registry: list | None = None) -> DataFrame:
     """(id, survivor_id): every doc within `max_hamming` of a smaller-id
-    doc, paired with its smallest such counterpart — the one-sweep
-    min-neighbor dedup policy (same shape as near_dup_losers), backed by
-    the pigeonhole-exact banded candidate join."""
+    doc, paired with a surviving counterpart, backed by the
+    pigeonhole-exact banded candidate join. closure=False: one-sweep
+    min-neighbor policy (see near_dup_losers for the chain caveat);
+    closure=True: connected-components survivorship (component-minimum
+    survives, everyone else attributes to it)."""
     pairs = simhash_near_dup(df, id_col=id_col, text_col=text_col,
                              bits=bits, n_bands=n_bands,
-                             max_hamming=max_hamming)
+                             max_hamming=max_hamming,
+                             cache_registry=cache_registry)
+    if closure:
+        return component_losers(pairs, id_col=id_col,
+                                cache_registry=cache_registry)
     return (
         pairs.groupBy("doc_b")
         .agg(F.min("doc_a").alias("survivor_id"))
         .select(F.col("doc_b").alias(id_col), "survivor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transitive-closure dedup: connected components over verified dup edges
+# ---------------------------------------------------------------------------
+
+def dup_components(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b", max_iters: int = 50,
+                   cache_registry: list | None = None) -> DataFrame:
+    """(doc_id, component_id) for every vertex of the verified-duplicate
+    graph: component_id = the component's minimum id. GraphFrames-free
+    connected components via iterative min-label propagation — each
+    round every vertex takes min(own label, neighbors' labels) until a
+    fixpoint (VERDICT r3 item 5; the closure near_dup_losers' one-sweep
+    policy lacks: a~b~c with a≁c collapses to ONE surviving component).
+
+    Scale shape: converges in O(graph diameter) rounds — dup clusters
+    are shallow (near-identical pages link densely), so single-digit
+    rounds in practice; each round is one equi-join on the edge list +
+    one min-aggregate (both shuffles on the vertex id, map-side
+    combined). Labels persist per round and the PREVIOUS round is
+    unpersisted after the convergence count materializes the new one, so
+    the loop holds O(1) cached frames; driver round-trip is one count()
+    per round (a long, not data). Edges are materialized once up front.
+    Deterministic on any cluster layout (min is order-independent).
+
+    Caching: intermediate rounds release themselves (blocking). The
+    FINAL labels frame backs the returned result — with `cache_registry`
+    it is appended for the caller to release after materializing;
+    without, it is local-checkpointed eagerly (the result is cut loose
+    from the loop lineage and the caches released here) and the
+    checkpoint blocks live until the returned frame is GC'd."""
+    und = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(max_iters):
+            msgs = und.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+            new_labels = (
+                labels.select("id", "label").union(msgs)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist(blocking=True)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dup_components did not converge in {max_iters} rounds "
+                "(graph diameter exceeds the bound — raise max_iters)"
+            )
+        out = labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+        )
+        if cache_registry is not None:
+            cache_registry.append(labels)
+            return out
+        out = out.localCheckpoint(eager=True)
+        labels.unpersist()
+        return out
+    except BaseException:
+        labels.unpersist()
+        raise
+    finally:
+        und.unpersist(blocking=True)
+
+
+def component_losers(pairs: DataFrame, id_col: str = "doc_id",
+                     a_col: str = "doc_a", b_col: str = "doc_b",
+                     cache_registry: list | None = None) -> DataFrame:
+    """(id, survivor_id) under transitive-closure survivorship: within
+    each connected component of the dup graph the minimum id survives
+    and every other member attributes to IT (never to a fellow loser,
+    unlike the one-sweep min-neighbor policy)."""
+    comps = dup_components(pairs, a_col=a_col, b_col=b_col,
+                           cache_registry=cache_registry)
+    return (
+        comps.filter(F.col("doc_id") != F.col("component_id"))
+        .select(F.col("doc_id").alias(id_col),
+                F.col("component_id").alias("survivor_id"))
     )
 
 

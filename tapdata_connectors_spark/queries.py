@@ -743,6 +743,54 @@ JOIN docsh b ON b.doc_id = c.doc_b
 """
 
 
+def q_dedup_minhash_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup survivorship (VERDICT r3 item 5):
+    connected components over the verified MinHash/Jaccard dup edges —
+    every non-minimum component member is a loser attributed to the
+    component's surviving minimum id, so a chain a~b~c never attributes
+    c to the already-dropped b. Engine op: corpus.near_dup_losers
+    (closure=True) → corpus.dup_components, GraphFrames-free iterative
+    min-label propagation: O(component diameter) rounds, each ONE
+    edge-join + ONE min-aggregate shuffle, O(1) cached frames held.
+    The DuckDB oracle computes the same closure with a recursive CTE."""
+    return corpus.near_dup_losers(
+        _t(spark, sf_dir, "documents"), MINHASH_CFG, closure=True
+    )
+
+
+SQL_DEDUP_MINHASH_CLOSURE = f"""
+WITH RECURSIVE docsh AS ({_SQL_DOC_SHINGLES}),
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN docsh a ON a.doc_id = c.doc_a
+  JOIN docsh b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh)) * 10
+        >= (a.n + b.n - len(list_intersect(a.sh, b.sh))) * 8
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM dup
+),
+reach AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS doc_id, MIN(dst) AS survivor_id
+FROM reach
+GROUP BY src
+HAVING MIN(dst) < src
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document over token hashes (sign of per-bit
     weight sums) — near-dup fingerprint whose hamming distance tracks
@@ -1327,6 +1375,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES.update({
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_jaccard": q_dedup_minhash_jaccard,
+    "dedup_minhash_closure": q_dedup_minhash_closure,
     "dedup_simhash": q_dedup_simhash,
     "lang_id_stopword": q_lang_id_stopword,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
@@ -1345,6 +1394,7 @@ QUERIES.update({
 ORACLE_SQL.update({
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_jaccard": SQL_DEDUP_MINHASH_JACCARD,
+    "dedup_minhash_closure": SQL_DEDUP_MINHASH_CLOSURE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "lang_id_stopword": SQL_LANG_ID_STOPWORD,
     "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,

@@ -44,9 +44,18 @@ CURATION_EPOCH = 1 << 20
 
 
 def find_dup_pages(pipe, method: str = "exact",
-                   cfg: corpus.MinHashConfig | None = None) -> DataFrame:
-    """(url, survivor_id) for every page that duplicates a smaller-url
-    page, on the current resolved table state. Pure query — no writes."""
+                   cfg: corpus.MinHashConfig | None = None,
+                   closure: bool = False,
+                   cache_registry: list | None = None) -> DataFrame:
+    """(url, survivor_id) for every page that duplicates another page, on
+    the current resolved table state. Pure query — no writes.
+    closure=True (minhash/simhash) switches the near-dup survivorship
+    policy from one-sweep min-neighbor to connected components over the
+    verified dup edges (corpus.component_losers): every loser attributes
+    to its component's surviving minimum key, so a chain a~b~c never
+    attributes c to the already-dropped b. `cache_registry`: frames the
+    corpus operators persist internally are appended for the caller to
+    release (VERDICT r3 item 4)."""
     from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
 
     t = pipe.init_table()
@@ -57,21 +66,31 @@ def find_dup_pages(pipe, method: str = "exact",
         return corpus.exact_dup_losers(live, id_col=key, text_col=text_name)
     if method == "minhash":
         return corpus.near_dup_losers(
-            live, cfg or corpus.MinHashConfig(), id_col=key, text_col=text_name
+            live, cfg or corpus.MinHashConfig(), id_col=key,
+            text_col=text_name, closure=closure, cache_registry=cache_registry,
         )
     if method == "simhash":
-        return corpus.simhash_dup_losers(live, id_col=key, text_col=text_name)
+        return corpus.simhash_dup_losers(
+            live, id_col=key, text_col=text_name, closure=closure,
+            cache_registry=cache_registry,
+        )
     raise ValueError(f"unknown dedup method {method!r} (exact|minhash|simhash)")
 
 
 def dedup_pages(pipe, method: str = "exact",
                 cfg: corpus.MinHashConfig | None = None,
-                tag: str = "0", dry_run: bool = False) -> dict:
-    """Find duplicate pages and tombstone the losers (min-key survivor).
+                tag: str = "0", dry_run: bool = False,
+                closure: bool = False) -> dict:
+    """Find duplicate pages and tombstone the losers (min-key survivor;
+    closure=True uses connected-components survivorship for the near-dup
+    methods — see find_dup_pages).
 
     `tag` keys idempotence: re-running with the same (method, tag) is a
     no-op (epoch_key guard), so a crashed curation pass just re-runs.
-    dry_run returns counts without committing.
+    dry_run returns counts without committing. Every frame the corpus
+    operators persist is released before return (cache_registry +
+    finally), so a long-lived curation session holds no cached RDDs
+    between passes.
     """
     t0 = time.time()
     t = pipe.init_table()
@@ -80,7 +99,10 @@ def dedup_pages(pipe, method: str = "exact",
     if t.epoch_applied(epoch_key):
         return {"skipped": True, "epoch_key": epoch_key}
 
-    losers = find_dup_pages(pipe, method, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    caches: list = []
+    losers = find_dup_pages(
+        pipe, method, cfg, closure=closure, cache_registry=caches,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # one job: touched buckets + loser count + key bytes (broadcast sizing)
         per_b = (
@@ -134,4 +156,9 @@ def dedup_pages(pipe, method: str = "exact",
         return {"n_losers": n_losers, "touched_buckets": touched,
                 "version": version, "epoch_key": epoch_key, "wall_ms": wall_ms}
     finally:
-        losers.unpersist()
+        # blocking: a curation pass must leave NO cached partitions behind
+        # (long-lived sessions run many passes; async removal races the
+        # next pass's memory demand)
+        losers.unpersist(blocking=True)
+        for c in caches:
+            c.unpersist(blocking=True)

@@ -374,3 +374,97 @@ def test_dedup_pages_simhash(spark, tmpdir_):
     assert left == {"u/a", "u/c"}
     # idempotent per tag
     assert dedup_pages(pipe, "simhash", tag="s1").get("skipped")
+
+
+# ---------------------------------------------------------------------------
+# transitive-closure dedup (connected components) + cache hygiene
+# ---------------------------------------------------------------------------
+
+def test_dup_components_star_and_chain(spark):
+    """VERDICT r3 item 5 done-criterion: on a star 1~3, 2~3 (1≁2) the
+    one-sweep min-neighbor policy keeps TWO survivors (1 and 2) while
+    closure keeps ONE (the component minimum); on a chain 10~11~12 the
+    sweep attributes 12 to the non-surviving 11, closure to 10."""
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=3), Row(doc_a=2, doc_b=3),
+         Row(doc_a=10, doc_b=11), Row(doc_a=11, doc_b=12)]
+    )
+    comps = {(r["doc_id"], r["component_id"])
+             for r in corpus.dup_components(pairs).collect()}
+    assert comps == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+    closure_losers = {(r["doc_id"], r["survivor_id"])
+                      for r in corpus.component_losers(pairs).collect()}
+    assert closure_losers == {(2, 1), (3, 1), (11, 10), (12, 10)}
+    closure_survivors = {1, 2, 3, 10, 11, 12} - {d for d, _ in closure_losers}
+    assert closure_survivors == {1, 10}  # ONE survivor per component
+
+    # the one-sweep policy on the same edges: two survivors in the star
+    # component, and 12's survivor is the non-surviving 11
+    sweep = {r["doc_b"]: r["survivor_id"]
+             for r in pairs.groupBy("doc_b")
+             .agg(F.min("doc_a").alias("survivor_id")).collect()}
+    sweep_survivors = {1, 2, 3, 10, 11, 12} - set(sweep)
+    assert sweep_survivors == {1, 2, 10}      # star keeps both 1 and 2
+    assert sweep[12] == 11                    # chain attributes to a loser
+
+
+def test_dup_components_cache_registry(spark):
+    """With a cache_registry the caller owns the final labels frame; no
+    other cached RDDs survive the call (intermediate rounds + edge frame
+    release themselves)."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3)])
+    reg: list = []
+    out = corpus.dup_components(pairs, cache_registry=reg)
+    assert {(r["doc_id"], r["component_id"]) for r in out.collect()} == {
+        (1, 1), (2, 1), (3, 1)
+    }
+    assert len(reg) == 1
+    for c in reg:
+        c.unpersist(blocking=True)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after <= before, f"leaked cached RDDs: {after - before}"
+
+
+def test_dedup_pages_closure_chain(spark, tmpdir_):
+    """Curation with closure=True on a simhash chain a~b~c (a≁c): one
+    survivor, and c attributes to the SURVIVING a (not the dropped b)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    mid = base.replace("sigma", "sigmaX", 1)              # near a AND c
+    far = base.replace("sigma", "sigmaX", 1).replace("kappa", "kappaY", 1)
+    pages = [("u/a", _H.format(base)), ("u/b", _H.format(mid)),
+             ("u/c", _H.format(far))]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in corpus.simhash_near_dup(
+                 pipe.table.read(), id_col="url", text_col="text").collect()}
+    # fixture sanity: chain through u/b (direct a~c may or may not hold —
+    # only require the chain edges)
+    assert ("u/a", "u/b") in pairs and ("u/b", "u/c") in pairs
+    losers = {(r["url"], r["survivor_id"])
+              for r in find_dup_pages(pipe, "simhash", closure=True).collect()}
+    assert losers == {("u/b", "u/a"), ("u/c", "u/a")}
+    rep = dedup_pages(pipe, "simhash", tag="cc1", closure=True)
+    assert rep["n_losers"] == 2
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    assert left == {"u/a"}
+
+
+@pytest.mark.parametrize("method,closure", [
+    ("minhash", False), ("simhash", False), ("simhash", True),
+])
+def test_dedup_pages_leaves_no_cached_rdds(spark, tmpdir_, method, closure):
+    """VERDICT r3 item 4 done-criterion: a curation pass releases every
+    frame it persisted (assertable via getPersistentRDDs)."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    pages = [("u/a", _H.format("same content here and more words to hash")),
+             ("u/b", _H.format("same content here and more words to hash")),
+             ("u/c", _H.format("unrelated text entirely about different things"))]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    rep = dedup_pages(pipe, method, tag=f"hyg-{method}-{closure}",
+                      closure=closure)
+    assert rep["n_losers"] >= 1
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after <= before, f"curation leaked cached RDDs: {after - before}"
