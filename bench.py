@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line for the round driver.
+"""Benchmark harness — prints the FULL JSON record, then a SHORT
+headline-only JSON line LAST (the round driver keeps the tail of stdout;
+the short line is what it parses — VERDICT r3 item 1a). The full record
+is also written to BENCH/headline_full.json.
 
 Headline: end-to-end CDC replay throughput (staged binlog-style events →
 LWW fold → Arrow html→text extraction → merge-on-read delta append →
 compaction), the BASELINE.json metric ("change-events/sec applied").
+The headline run is quiet-host GATED (VERDICT r3 item 1b): pre-run
+pagetouch probe + post-run JVM sys-ratio acceptance with bounded retries,
+so the record either carries a jvm_sys_ratio < 0.3 measurement or shows
+in-artifact that the host never went quiet.
 
 Also times every driver-contract query at $SPARK_GRAFT_SF_DIR.
 
@@ -156,6 +163,24 @@ def run_replay_subprocess(cores: int, staging: str | None = None,
     finally:
         shutil.rmtree(table, ignore_errors=True)
         shutil.rmtree(local_dir, ignore_errors=True)
+
+
+def quick_pagetouch_slowdown() -> dict:
+    """Fast pre-run quiet-host probe: the pagetouch half of
+    host_memory_scaling only (8 vs 32 procs, identical per-proc work;
+    healthy ratio ~1). Used to GATE the headline replay (VERDICT r3 item
+    1b): when the kernel is in its serializing regime (slowdown > 3) a
+    32-thread measurement times the kernel, not the engine."""
+    import multiprocessing as mp
+
+    r = {}
+    for procs in (8, 32):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_hostbench_touch, range(procs))
+        r[procs] = time.time() - t0
+    return {"t8_sec": round(r[8], 2), "t32_sec": round(r[32], 2),
+            "slowdown_8_to_32": round(r[32] / max(r[8], 1e-9), 2)}
 
 
 def _hostbench_touch(_):
@@ -347,10 +372,52 @@ def _proc_cpu(pid: int | None) -> tuple[float, float]:
         return (0.0, 0.0)
 
 
+MAX_HEADLINE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ATTEMPTS", "3"))
+QUIET_PAGETOUCH_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_PAGETOUCH", "3.0"))
+QUIET_SYS_RATIO_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_SYS_RATIO", "0.3"))
+QUIET_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "45"))
+
+
+def _headline_attempt(spark) -> dict:
+    """One in-process headline replay at CPUS cores; returns wall time,
+    rows and the JVM's /proc user/system CPU split captured ACROSS the
+    timed window (the host-attribution evidence: on this sandbox kernel,
+    memory-heavy work above ~8-16 threads burns most of its cycles in
+    kernel page/tmpfs locks — sys time — and host speed drifts 2-6× on
+    ~10-min timescales, so a slow run must be attributable IN the
+    artifact)."""
+    from tapdata_connectors_spark.streaming import CdcPipeline
+
+    table = tempfile.mkdtemp(prefix="bench_pages_", dir=SCRATCH)
+    try:
+        pipe = CdcPipeline(spark, table, STAGING, n_buckets=64,
+                           merge_mode="mor", compact_every=8,
+                           fold_broadcast=True)
+        jvm = _jvm_pid()
+        u0, s0 = _proc_cpu(jvm)
+        t0 = time.time()
+        pipe.replay_batch(epoch_batch=64)
+        pipe.table.compact(concurrency=4)
+        replay_sec = time.time() - t0
+        u1, s1 = _proc_cpu(jvm)
+        final_rows = pipe.table.read().count()
+        return {
+            "replay_sec": round(replay_sec, 2),
+            "events_per_sec": round(N_EVENTS / replay_sec),
+            "final_rows": final_rows,
+            "jvm_user_cpu_sec": round(u1 - u0, 1),
+            "jvm_sys_cpu_sec": round(s1 - s0, 1),
+            "jvm_sys_ratio": round(
+                (s1 - s0) / max(1e-9, (u1 - u0) + (s1 - s0)), 3
+            ),
+        }
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
 def main() -> None:
     from tapdata_connectors_spark.queries import QUERIES
     from tapdata_connectors_spark.session import build_session
-    from tapdata_connectors_spark.streaming import CdcPipeline
 
     do_scaling = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1"
 
@@ -360,32 +427,44 @@ def main() -> None:
     )
     gen_sec = ensure_staged(spark)
 
-    # headline replay in-process at CPUS. The JVM's /proc user/system CPU
-    # split is captured ACROSS the timed window: on this sandbox kernel,
-    # memory-heavy work above ~8-16 threads burns most of its cycles in
-    # kernel page/tmpfs locks (sys time), and host speed drifts 2-6× on
-    # ~10-min timescales — the in-record sys_ratio + the post-run kernel
-    # microbench let a slow headline be attributed to the host IN the
-    # artifact rather than by after-the-fact argument (VERDICT r2 item 2).
+    # Headline replay, quiet-host gated (VERDICT r3 item 1b): before each
+    # attempt, wait (bounded) for the kernel's pagetouch microbench to
+    # leave the serializing regime; after each attempt, accept it only if
+    # the JVM spent < QUIET_SYS_RATIO_MAX of its CPU in the kernel —
+    # otherwise the run measured kernel locks, not the engine, and is
+    # retried. The best-by-sys-ratio attempt becomes the headline; every
+    # attempt stays in the record, so either a quiet-host number exists or
+    # the artifact itself shows the criterion was unreachable this round.
     os.makedirs(SCRATCH, exist_ok=True)
-    table = tempfile.mkdtemp(prefix="bench_pages_", dir=SCRATCH)
-    pipe = CdcPipeline(spark, table, STAGING, n_buckets=64,
-                       merge_mode="mor", compact_every=8, fold_broadcast=True)
-    jvm = _jvm_pid()
-    u0, s0 = _proc_cpu(jvm)
-    t0 = time.time()
-    pipe.replay_batch(epoch_batch=64)
-    pipe.table.compact(concurrency=4)
-    replay_sec = time.time() - t0
-    u1, s1 = _proc_cpu(jvm)
+    attempts: list[dict] = []
+    for _ in range(MAX_HEADLINE_ATTEMPTS):
+        gate = []
+        for g in range(4):
+            probe = quick_pagetouch_slowdown()
+            gate.append(probe)
+            if probe["slowdown_8_to_32"] <= QUIET_PAGETOUCH_MAX:
+                break
+            time.sleep(QUIET_WAIT_SEC)
+        res = _headline_attempt(spark)
+        res["pre_gate_pagetouch"] = gate
+        attempts.append(res)
+        if res["jvm_sys_ratio"] < QUIET_SYS_RATIO_MAX:
+            break
+    best = min(attempts, key=lambda r: (r["jvm_sys_ratio"], r["replay_sec"]))
+    replay_sec = best["replay_sec"]
+    final_rows = best["final_rows"]
     host_attr = {
-        "jvm_user_cpu_sec": round(u1 - u0, 1),
-        "jvm_sys_cpu_sec": round(s1 - s0, 1),
-        "jvm_sys_ratio": round((s1 - s0) / max(1e-9, (u1 - u0) + (s1 - s0)), 3),
+        "jvm_user_cpu_sec": best["jvm_user_cpu_sec"],
+        "jvm_sys_cpu_sec": best["jvm_sys_cpu_sec"],
+        "jvm_sys_ratio": best["jvm_sys_ratio"],
+        "quiet_host_criterion_met": best["jvm_sys_ratio"] < QUIET_SYS_RATIO_MAX,
+        "attempts": [
+            {k: a[k] for k in ("replay_sec", "events_per_sec",
+                               "jvm_sys_ratio", "pre_gate_pagetouch")}
+            for a in attempts
+        ],
         "memory_scaling_after_run": host_memory_scaling(),
     }
-    final_rows = pipe.table.read().count()
-    shutil.rmtree(table, ignore_errors=True)
 
     qtimes: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -419,7 +498,32 @@ def main() -> None:
         "host_attribution": host_attr,
         "scaling": scaling,
     }
+    # full record: to a file (never truncated) AND stdout for completeness
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "headline_full.json"), "w") as f:
+        json.dump(out, f, indent=2)
     print(json.dumps(out))
+    # LAST line is a short headline-only record (VERDICT r3 item 1a): the
+    # round driver keeps the TAIL of stdout, and the full record outgrew
+    # that capture in r3 (BENCH_r03 parsed:null, the headline value was
+    # recoverable only by arithmetic). Everything the driver contract
+    # needs — metric/value/unit/queries/sf — plus the quiet-host verdict
+    # fits here; raw arrays and per-attempt detail live in the full
+    # record above and BENCH/headline_full.json.
+    short = {
+        "metric": "cdc_replay_wall",
+        "value": round(replay_sec, 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "events": N_EVENTS,
+        "events_per_sec": round(N_EVENTS / replay_sec),
+        "cpus": CPUS,
+        "jvm_sys_ratio": host_attr["jvm_sys_ratio"],
+        "quiet_host_criterion_met": host_attr["quiet_host_criterion_met"],
+        "efficiency_n_to_4n": (scaling or {}).get("efficiency_n_to_4n"),
+    }
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":
