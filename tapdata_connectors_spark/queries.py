@@ -856,6 +856,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_dedup_simhash_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components survivorship over the SimHash banded-Hamming
+    dup edges (pigeonhole-exact candidates, Hamming ≤ 3 verify) — the
+    same closure operator as dedup_minhash_closure exercised over a
+    different edge pipeline. Engine op: corpus.simhash_dup_losers
+    (closure=True). Oracle: recursive CTE over the simhash-pairs SQL."""
+    return corpus.simhash_dup_losers(_t(spark, sf_dir, "documents"),
+                                     bits=60, n_bands=4, max_hamming=3,
+                                     closure=True)
+
+
+SQL_DEDUP_SIMHASH_CLOSURE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h, unnest(range(0,60)) AS b
+  FROM tok
+), per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+), e AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bv
+  FROM (SELECT doc_id, simhash, unnest(range(0,4)) AS band FROM sh)
+), dup AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM dup
+), reach AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS doc_id, MIN(dst) AS survivor_id
+FROM reach
+GROUP BY src
+HAVING MIN(dst) < src
+"""
+
+
 _LANG_MARKERS = corpus.LANG_MARKERS
 
 
@@ -1385,6 +1434,7 @@ QUERIES.update({
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_multiprobe": q_dedup_embedding_cosine_multiprobe,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_closure": q_dedup_simhash_closure,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "resume_from_timestamp": q_resume_from_timestamp,
@@ -1404,6 +1454,7 @@ ORACLE_SQL.update({
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_multiprobe": SQL_DEDUP_EMBEDDING_COSINE_MULTIPROBE,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_simhash_closure": SQL_DEDUP_SIMHASH_CLOSURE,
     "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,
