@@ -447,6 +447,34 @@ def simhash_dup_losers(df: DataFrame, id_col: str = "doc_id",
 # transitive-closure dedup: connected components over verified dup edges
 # ---------------------------------------------------------------------------
 
+def _persistent_rdd_ids(sc) -> set:
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids, blocking: bool = False) -> None:
+    """Free cached blocks by RDD id — the only handle that reaches a
+    localCheckpoint's storage (DataFrame.unpersist does not: the
+    checkpointed RDD is internal to the LogicalRDD leaf)."""
+    jsc_sc = sc._jsc.sc()
+    for i in ids:
+        opt = jsc_sc.persistentRdds().get(i)
+        if opt.isDefined():
+            opt.get().unpersist(blocking)
+
+
+class _LocalCheckpointHandle:
+    """cache_registry shim for localCheckpoint-backed frames: exposes the
+    same unpersist(blocking=...) surface as a persisted DataFrame but
+    frees the checkpoint's cached blocks by RDD id."""
+
+    def __init__(self, sc, ids: set):
+        self._sc = sc
+        self._ids = ids
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _unpersist_rdd_ids(self._sc, self._ids, blocking)
+
+
 def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                    b_col: str = "doc_b", max_iters: int = 50,
                    cache_registry: list | None = None) -> DataFrame:
@@ -461,48 +489,59 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     are shallow (near-identical pages link densely), so single-digit
     rounds in practice; each round is one equi-join on the edge list +
     one min-aggregate (both shuffles on the vertex id, map-side
-    combined). Labels persist per round and the PREVIOUS round is
-    unpersisted after the convergence count materializes the new one, so
-    the loop holds O(1) cached frames; driver round-trip is one count()
-    per round (a long, not data). Edges are materialized once up front.
-    Deterministic on any cluster layout (min is order-independent).
+    combined); driver round-trip is one count() per round (a long, not
+    data). Edges are materialized once up front. Deterministic on any
+    cluster layout (min is order-independent).
 
-    Caching: intermediate rounds release themselves (blocking). The
-    FINAL labels frame backs the returned result — with `cache_registry`
-    it is appended for the caller to release after materializing;
-    without, it is local-checkpointed eagerly (the result is cut loose
-    from the loop lineage and the caches released here) and the
-    checkpoint blocks live until the returned frame is GC'd."""
+    Lineage MUST truncate every round: the new-labels plan references
+    the previous round TWICE (messages join + union), so without
+    truncation the logical plan doubles per round — around 15 rounds
+    Spark's plan bookkeeping (analyzer copies, AQE explain strings)
+    OOMs the driver long before the data is a problem (this exact OOM
+    was observed at sf0.1 with the persist-only first cut). Each round
+    is therefore an EAGER localCheckpoint — the plan collapses to a
+    LogicalRDD leaf — and the previous round's checkpoint blocks are
+    freed by RDD id right after the convergence count, so the loop
+    holds O(1) cached frames AND an O(1) plan. The final round backs
+    the returned result: with `cache_registry` a release handle
+    (_LocalCheckpointHandle) is appended for the caller; without one
+    the blocks live until the returned frame is GC'd. Block ids are
+    diffed around the checkpoint, so do not run concurrent persists on
+    the same session mid-call."""
+    sc = pairs.sparkSession.sparkContext
     und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        und.select(F.col("src").alias("id"))
-        .distinct()
+
+    def _checkpoint(df: DataFrame):
+        pre = _persistent_rdd_ids(sc)
+        ck = df.localCheckpoint(eager=True)
+        return ck, _persistent_rdd_ids(sc) - pre
+
+    labels, label_ids = _checkpoint(
+        und.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
         for _ in range(max_iters):
             msgs = und.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
             ).select(F.col("dst").alias("id"), "label")
-            new_labels = (
+            new_labels, new_ids = _checkpoint(
                 labels.select("id", "label").union(msgs)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             changed = (
                 new_labels.join(labels.withColumnRenamed("label", "old"), "id")
                 .filter(F.col("label") != F.col("old"))
                 .count()
             )
-            labels.unpersist(blocking=True)
-            labels = new_labels
+            _unpersist_rdd_ids(sc, label_ids, blocking=True)
+            labels, label_ids = new_labels, new_ids
             if changed == 0:
                 break
         else:
@@ -514,13 +553,10 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
             F.col("id").alias("doc_id"), F.col("label").alias("component_id")
         )
         if cache_registry is not None:
-            cache_registry.append(labels)
-            return out
-        out = out.localCheckpoint(eager=True)
-        labels.unpersist()
+            cache_registry.append(_LocalCheckpointHandle(sc, label_ids))
         return out
     except BaseException:
-        labels.unpersist()
+        _unpersist_rdd_ids(sc, label_ids)
         raise
     finally:
         und.unpersist(blocking=True)
