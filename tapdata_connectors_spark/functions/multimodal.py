@@ -5,7 +5,8 @@ payload column, first-class through fold/merge/DDL): an opaque `binary`
 column plus typed metadata, with all per-row work in Arrow-batched pandas
 functions via `mapInPandas` — never row-at-a-time Python.
 
-REAL-format decode, stdlib-only (no PIL/soundfile/av in this container):
+REAL-format decode, stdlib/numpy-only (no PIL/soundfile/av in this
+container):
 
   - WAV (PCM-16) decodes via the stdlib `wave` module — decode_faud
     dispatches on the RIFF/WAVE magic and yields the same
@@ -15,8 +16,15 @@ REAL-format decode, stdlib-only (no PIL/soundfile/av in this container):
     types) — decode_fimg dispatches on the PNG magic and yields the
     grayscale pixel grid (color converts by integer BT.601 luma, so the
     result is bit-deterministic on every platform).
-  - JPEG and MP4 genuinely need codec libraries; those two magics still
-    raise NotImplementedError with a clear message.
+  - JPEG (baseline SOF0, gray or any chroma sampling, restart markers)
+    decodes via functions/jpeg.py — marker parse, canonical Huffman,
+    dequant, float64 IDCT; yields the luma plane. Progressive (SOF2)
+    raises NotImplementedError by name (round 4; r3 had gated ALL jpeg).
+  - MP4 DEMUXES via functions/mp4.py — box tree + stsz/stsc/stco sample
+    resolution; decode_fvid yields the encoded access units as frames
+    (what a downstream codec/GPU tier consumes — decoding H.264 et al.
+    genuinely needs a codec library and stays gated). Fragmented MP4
+    (moof) raises NotImplementedError by name.
 
 The deterministic FIMG/FAUD/FVID fake codecs below remain the
 fully-specified fixtures that exercise the entire Spark-side pipeline —
@@ -45,25 +53,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# magic prefixes of real formats that genuinely need codec libraries
-# (PNG and WAV decode with the stdlib — see _decode_png / _decode_wav)
-_REAL_MAGICS = {
-    b"\xff\xd8\xff": "jpeg",
-    b"\x00\x00\x00\x18ftyp": "mp4",
-    b"\x00\x00\x00\x20ftyp": "mp4",
-}
-
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
 
 
-def _refuse_real_format(b: bytes) -> None:
-    for magic, name in _REAL_MAGICS.items():
-        if b.startswith(magic):
-            raise NotImplementedError(
-                f"decoding real {name} media requires a codec library "
-                "not present in this environment; PNG/WAV decode via the "
-                "stdlib, FIMG/FAUD/FVID are the deterministic test codecs"
-            )
+def _is_mp4(b: bytes) -> bool:
+    return len(b) >= 8 and bytes(b[4:8]) == b"ftyp"
 
 
 def _decode_wav(b: bytes) -> tuple[int, np.ndarray]:
@@ -177,9 +172,14 @@ def encode_fimg(payload: bytes, width: int) -> bytes:
 
 
 def decode_fimg(b: bytes) -> np.ndarray:
-    _refuse_real_format(bytes(b[:8]))
     if bytes(b[:8]) == _PNG_MAGIC:
         return _decode_png(b)
+    if bytes(b[:3]) == _JPEG_MAGIC:
+        from tapdata_connectors_spark.functions.jpeg import decode_jpeg_luma
+
+        return decode_jpeg_luma(b)
+    if _is_mp4(b):
+        raise ValueError("blob is an MP4 video, not an image")
     if b[:4] != b"FIMG":
         raise ValueError("not a FIMG blob")
     w, h = struct.unpack(">HH", bytes(b[4:8]))
@@ -193,9 +193,10 @@ def encode_faud(samples: "np.ndarray", sample_rate: int) -> bytes:
 
 
 def decode_faud(b: bytes) -> tuple[int, np.ndarray]:
-    _refuse_real_format(bytes(b[:8]))
     if bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"WAVE":
         return _decode_wav(b)
+    if bytes(b[:3]) == _JPEG_MAGIC or bytes(b[:8]) == _PNG_MAGIC or _is_mp4(b):
+        raise ValueError("blob is image/video media, not audio")
     if b[:4] != b"FAUD":
         raise ValueError("not a FAUD blob")
     (rate,) = struct.unpack(">I", bytes(b[4:8]))
@@ -212,7 +213,14 @@ def encode_fvid(frames: list[bytes]) -> bytes:
 
 
 def decode_fvid(b: bytes) -> list[bytes]:
-    _refuse_real_format(bytes(b[:8]))
+    if _is_mp4(b):
+        from tapdata_connectors_spark.functions.mp4 import mp4_samples
+
+        # frames = the track's encoded access units in decode order (the
+        # demux contract — see functions/mp4.py; timestamps via mp4_samples)
+        return [s for _, s in mp4_samples(b)]
+    if bytes(b[:3]) == _JPEG_MAGIC or bytes(b[:8]) == _PNG_MAGIC:
+        raise ValueError("blob is an image, not a video")
     if b[:4] != b"FVID":
         raise ValueError("not a FVID blob")
     n, fb = struct.unpack(">HH", bytes(b[4:8]))

@@ -47,12 +47,15 @@ def test_fvid_roundtrip():
     assert mm.decode_fvid(mm.encode_fvid([])) == []
 
 
-def test_real_formats_refused():
-    # narrowed to the formats that genuinely need codec libraries: JPEG
-    # and MP4 (PNG/WAV now decode via the stdlib — tests below)
-    for magic in (b"\xff\xd8\xff\xe0", b"\x00\x00\x00\x18ftypmp42"):
-        with pytest.raises(NotImplementedError, match="codec library"):
-            mm.decode_fimg(magic + b"\x00" * 16)
+def test_cross_modality_blobs_fail_loudly():
+    # round 4: JPEG decodes and MP4 demuxes (tests below) — what remains
+    # refused is the WRONG modality reaching a decoder
+    with pytest.raises(ValueError, match="not an image"):
+        mm.decode_fimg(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not audio"):
+        mm.decode_faud(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not a video"):
+        mm.decode_fvid(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 # ---------------------------------------------------------------------------
@@ -296,3 +299,136 @@ def test_documents_text_is_ascii():
         "WHERE octet_length(encode(text)) <> length(text)"
     ).fetchone()[0]
     assert n == 0, f"{n} documents contain non-ASCII text; multimodal oracles diverge"
+
+
+# ---------------------------------------------------------------------------
+# real-format decode round 4: baseline JPEG (functions/jpeg.py) and MP4
+# demux (functions/mp4.py) — pure numpy/stdlib, round-tripped against the
+# module's own fixture encoder/muxer (this container has no other codec)
+# ---------------------------------------------------------------------------
+
+def _grad(h, w):
+    return (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_gray_roundtrip_within_quantization_error():
+    from tapdata_connectors_spark.functions.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    y = _grad(24, 17)  # non-multiple-of-8 dims exercise edge padding/crop
+    b = encode_jpeg([y])
+    assert b[:3] == b"\xff\xd8\xff" and b[-2:] == b"\xff\xd9"
+    dec = decode_jpeg_luma(b)
+    assert dec.shape == y.shape and dec.dtype == np.uint8
+    # flat quant table 16 bounds the per-pixel error tightly
+    assert int(np.abs(dec.astype(int) - y.astype(int)).max()) <= 8
+    # determinism: identical bytes -> identical pixels
+    assert np.array_equal(decode_jpeg_luma(b), dec)
+
+
+def test_jpeg_color_444_returns_luma():
+    from tapdata_connectors_spark.functions.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    y = _grad(16, 16)
+    cb = np.full_like(y, 90)
+    cr = y[::-1].copy()
+    dec = decode_jpeg_luma(encode_jpeg([y, cb, cr]))
+    # chroma blocks are entropy-decoded then discarded; output is Y
+    assert int(np.abs(dec.astype(int) - y.astype(int)).max()) <= 8
+
+
+def test_jpeg_restart_markers():
+    from tapdata_connectors_spark.functions.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    y = _grad(24, 24)
+    plain = decode_jpeg_luma(encode_jpeg([y]))
+    with_rst = decode_jpeg_luma(encode_jpeg([y], restart_interval=2))
+    # DRI/RSTn change the bitstream layout, never the pixels
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_flat_block_exact_and_progressive_rejected():
+    from tapdata_connectors_spark.functions.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    flat = np.full((16, 16), 200, np.uint8)
+    b = encode_jpeg([flat])
+    assert np.array_equal(decode_jpeg_luma(b), flat)  # DC-only: exact
+    prog = bytearray(b)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_luma(bytes(prog))
+
+
+def test_jpeg_through_image_meta_and_resize_spark(spark):
+    from tapdata_connectors_spark.functions.jpeg import encode_jpeg
+
+    planes = {i: _grad(16 + 8 * i, 24) for i in range(3)}
+    rows = [Row(id=i, img=bytearray(encode_jpeg([p])))
+            for i, p in planes.items()]
+    df = spark.createDataFrame(rows)
+    got = {r["id"]: r for r in mm.image_meta(df).collect()}
+    for i, p in planes.items():
+        assert (got[i]["width"], got[i]["height"]) == (24, 16 + 8 * i)
+        # sum over decoded luma equals the python-side decode exactly
+        assert got[i]["sum_px"] == int(
+            mm.decode_fimg(bytes(rows[i]["img"])).sum(dtype=np.int64)
+        )
+    res = {r["id"]: r for r in mm.resize_images(df, 8, 8).collect()}
+    for i in planes:
+        assert mm.decode_fimg(bytes(res[i]["img"])).shape == (8, 8)
+
+
+def test_mp4_demux_meta_samples_timestamps():
+    from tapdata_connectors_spark.functions.mp4 import (
+        mp4_meta,
+        mp4_samples,
+        mux_mp4,
+    )
+
+    frames = [bytes([i]) * (10 + i) for i in range(7)]
+    b = mux_mp4(frames, width=320, height=240, timescale=1000,
+                sample_delta=40)
+    assert b[:8] == b"\x00\x00\x00\x18ftyp"  # standard magic holds
+    assert mp4_meta(b) == {"width": 320, "height": 240, "timescale": 1000,
+                           "duration": 280, "n_samples": 7}
+    s = mp4_samples(b)
+    assert [f for _, f in s] == frames
+    assert [t for t, _ in s] == [40 * i for i in range(7)]
+
+
+def test_mp4_fragmented_rejected():
+    from tapdata_connectors_spark.functions.mp4 import mp4_samples
+
+    moof = struct.pack(">I", 8) + b"moof"
+    frag = (struct.pack(">I", 0x18) + b"ftyp" + b"isom" + b"\x00" * 4
+            + b"isomiso2" + moof)
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        mp4_samples(frag)
+
+
+def test_mp4_through_sample_frames_spark(spark):
+    from tapdata_connectors_spark.functions.mp4 import mux_mp4
+
+    frames = [hashlib.md5(bytes([i])).digest() for i in range(9)]
+    df = spark.createDataFrame(
+        [Row(id=1, video=bytearray(mux_mp4(frames)))]
+    )
+    got = mm.sample_frames(df, stride=4).collect()
+    # every 4th encoded access unit, one row per frame, inside the task
+    assert [(r["id"], r["frame_idx"]) for r in got] == [(1, 0), (1, 4), (1, 8)]
+    for r in got:
+        assert bytes(r["frame"]) == frames[r["frame_idx"]]
+        assert r["frame_md5"] == hashlib.md5(frames[r["frame_idx"]]).hexdigest()
