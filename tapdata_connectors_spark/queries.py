@@ -1293,6 +1293,56 @@ FROM b
 """
 
 
+def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format image path end-to-end IN the engine (round 4): per
+    document, a 16x16 grayscale image of four 8x8 constant blocks (levels
+    derived from the text length) is encoded to an actual baseline JPEG
+    bitstream (functions/jpeg.encode_jpeg), then decoded back by the
+    image_meta operator through functions/jpeg.decode_jpeg_luma — marker
+    parse, Huffman, dequant, IDCT, the whole pipeline. Constant blocks
+    are DC-only and the quant table is all-8s, making the round-trip
+    bit-EXACT (DC = 8·(level−128) is divisible by 8), so the DuckDB
+    oracle can state the expected metadata in closed form. Both stages
+    are map-only Arrow-batched mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from tapdata_connectors_spark.functions import multimodal as mm
+    from tapdata_connectors_spark.functions.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = np.full(64, 8, dtype=np.uint16)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                nb = len(t.encode("utf-8"))
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for q, k in enumerate((1, 7, 13, 31)):
+                    by, bx = divmod(q, 2)
+                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (nb * k) % 256
+                rows.append((int(i), encode_jpeg([img], qt=qt)))
+            yield pd.DataFrame(rows, columns=["id", "img"])
+
+    imgs = docs.mapInPandas(enc, "id long, img binary")
+    return mm.image_meta(imgs).select(
+        F.col("id").alias("doc_id"), "width", "height", "n_pixels", "sum_px"
+    )
+
+
+SQL_MULTIMODAL_JPEG_META = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST(64 * ((strlen(text) % 256) + (strlen(text) * 7 % 256)
+                  + (strlen(text) * 13 % 256) + (strlen(text) * 31 % 256))
+            AS BIGINT) AS sum_px
+FROM documents
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: document bytes packed as FVID blobs
     (16-byte frames, tail dropped), then every 4th frame emitted as its
@@ -1436,6 +1486,7 @@ QUERIES.update({
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_closure": q_dedup_simhash_closure,
     "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "resume_from_timestamp": q_resume_from_timestamp,
     "table_stats": q_table_stats,
@@ -1456,6 +1507,7 @@ ORACLE_SQL.update({
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_simhash_closure": SQL_DEDUP_SIMHASH_CLOSURE,
     "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
+    "multimodal_jpeg_meta": SQL_MULTIMODAL_JPEG_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,
     "table_stats": SQL_TABLE_STATS,
