@@ -315,3 +315,34 @@ def sample_frames(df: DataFrame, stride: int = 4, id_col: str = "id",
     return df.mapInPandas(
         gen, "id long, frame_idx int, frame binary, frame_md5 string"
     )
+
+
+def video_meta(df: DataFrame, id_col: str = "id",
+               bin_col: str = "video") -> DataFrame:
+    """(id, width, height, timescale, duration, n_samples) per video blob.
+    MP4 containers are demuxed for real (functions/mp4.mp4_meta: tkhd
+    16.16 dims, mdhd timescale/duration, stsz sample count); FVID fixture
+    blobs report their frame count with container fields null. Map-only
+    mapInPandas — the moov box is parsed per row inside the task, bytes
+    never shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                if _is_mp4(bytes(b[:16])):
+                    from tapdata_connectors_spark.functions.mp4 import mp4_meta
+                    m = mp4_meta(b)
+                    rows.append((i, m["width"], m["height"], m["timescale"],
+                                 m["duration"], m["n_samples"]))
+                else:
+                    rows.append((i, None, None, None, None,
+                                 len(decode_fvid(b))))
+            yield pd.DataFrame(rows, columns=[
+                "id", "width", "height", "timescale", "duration", "n_samples"
+            ])
+
+    return df.mapInPandas(
+        gen,
+        "id long, width int, height int, timescale int, duration long, "
+        "n_samples long",
+    )

@@ -151,6 +151,157 @@ def token_count_by(df: DataFrame, group_col: str = "lang",
     )
 
 
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Space-joined word n-grams as an array column (empty when the doc
+    has fewer than n tokens). Pure JVM higher-order functions; map-only."""
+    tk = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )
+    return F.when(F.size(tk) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters,
+    Rae et al. 2021 §A1.1): duplicate 2-gram / 3-gram fraction and the
+    most-frequent-word share, each as an exact ×1e3 integer so the DuckDB
+    oracle compares bit-for-bit. Map-only JVM higher-order functions —
+    no shuffle, no Python; survives any scale by construction."""
+    w = tokens(F.col(text_col))
+    n_words = F.size(w)
+
+    def dup_frac(n: int) -> Column:
+        g = word_ngrams(F.col(text_col), n)
+        return F.when(
+            F.size(g) > 0,
+            F.floor((F.size(g) - F.size(F.array_distinct(g))) * 1000 / F.size(g)),
+        ).otherwise(F.lit(None)).cast("long")
+
+    # max occurrences of any single word: O(distinct x words) per doc —
+    # bounded by doc length, runs inside the task, no shuffle
+    top_cnt = F.aggregate(
+        F.array_distinct(w), F.lit(0),
+        lambda acc, d: F.greatest(acc, F.size(F.filter(w, lambda x: x == d))),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        dup_frac(2).alias("dup_2gram_x1e3"),
+        dup_frac(3).alias("dup_3gram_x1e3"),
+        F.when(n_words > 0, F.floor(top_cnt * 1000 / n_words))
+        .otherwise(F.lit(None)).cast("long").alias("top_word_x1e3"),
+    )
+
+
+def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-n-gram accounting — the detection half of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): per document, how many of its distinct
+    word n-grams also occur in at least one OTHER document.
+
+    Shape at 100 TB: one explode of distinct-per-doc grams hashed to a
+    60-bit key (skinny shuffle rows, never the gram text), one groupBy on
+    the hash counting documents, one join back on the hash, one per-doc
+    re-aggregation — all hash-partitioned on the same key, linear in
+    corpus size. The classic suffix-array approach is a single-node
+    design; this is its distributable n-gram-inventory equivalent."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(word_ngrams(F.col(text_col), n)))
+        .alias("gram"),
+    ).select("doc_id", md5_slice(F.col("gram"), 15).alias("gh"))
+    docfreq = (
+        grams.filter(F.col("gh").isNotNull())
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_doc = (
+        grams.join(docfreq, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("gh")).alias("n_ngrams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.when(F.col("n_ngrams") > 0,
+               F.floor(F.col("n_shared") * 1000 / F.col("n_ngrams")))
+        .otherwise(F.lit(None)).cast("long").alias("shared_x1e3"),
+    )
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 5, max_words: int = 100000,
+                   mean_len_x100: tuple[int, int] = (150, 1200),
+                   max_dup_2gram_x1e3: int = 600,
+                   max_top_word_x1e3: int = 300,
+                   min_stop: int = 0) -> DataFrame:
+    """Composite document-quality gate in the Gopher style (Rae et al.
+    2021 table A1): word-count band, mean-word-length band, duplicate
+    2-gram ceiling, top-word-share ceiling, stopword floor. Emits each
+    signal plus the final keep flag so downstream filtering is a
+    column predicate, not a recompute. Map-only."""
+    feats = quality_features(df, id_col=id_col, text_col=text_col)
+    reps = repetition_stats(df, id_col=id_col, text_col=text_col)
+    j = feats.withColumnRenamed(id_col, "doc_id").join(
+        reps.select("doc_id", "dup_2gram_x1e3", "top_word_x1e3"), "doc_id"
+    )
+    keep = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_tok_len_x100") >= mean_len_x100[0])
+        & (F.col("mean_tok_len_x100") <= mean_len_x100[1])
+        & (F.coalesce(F.col("dup_2gram_x1e3"), F.lit(0)) <= max_dup_2gram_x1e3)
+        & (F.coalesce(F.col("top_word_x1e3"), F.lit(0)) <= max_top_word_x1e3)
+        & (F.col("n_stop") >= min_stop)
+    )
+    return j.select(
+        "doc_id", "n_words", "mean_tok_len_x100", "n_stop",
+        "dup_2gram_x1e3", "top_word_x1e3", keep.alias("keep"),
+    )
+
+
+def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document top-k characteristic terms, TF-IDF-shaped but
+    integer-exact: rank a doc's distinct terms by (term frequency DESC,
+    corpus document frequency ASC, term ASC) — high-tf rare-df first,
+    exactly the TF-IDF ordering without a float logarithm, so the oracle
+    compare is bit-stable.
+
+    Shape at 100 TB: explode once, two hash aggregations (per-doc tf,
+    corpus df), one join on the term, and a per-doc window whose
+    partition is one document's vocabulary (bounded by doc length —
+    never a global sort). The df side is vocabulary-sized; AQE's skew
+    join covers hot common terms."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(docfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection (two-phase candidate -> verify)
 # ---------------------------------------------------------------------------

@@ -566,6 +566,126 @@ FROM documents
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher repetition filters, Rae
+    et al. 2021 §A1.1): duplicate 2-/3-gram fraction and top-word share,
+    exact ×1e3 integers. Map-only JVM higher-order functions.
+    Engine op: operators/corpus.repetition_stats."""
+    return corpus.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> array_to_string(list_slice(w, i, i+1), ' ')) ELSE [] END AS g2,
+    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' ')) ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  CASE WHEN len(g2) > 0 THEN CAST(floor((len(g2) - len(list_distinct(g2))) * 1000 / len(g2)) AS BIGINT) END AS dup_2gram_x1e3,
+  CASE WHEN len(g3) > 0 THEN CAST(floor((len(g3) - len(list_distinct(g3))) * 1000 / len(g3)) AS BIGINT) END AS dup_3gram_x1e3,
+  CASE WHEN len(w) > 0 THEN CAST(floor(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) * 1000 / len(w)) AS BIGINT) END AS top_word_x1e3
+FROM g
+"""
+
+
+def q_dedup_ngram_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram accounting (n=5) — the detection
+    half of exact-substring dedup (Lee et al. 2022): per document, how
+    many of its distinct word 5-grams occur in >=1 other document. One
+    explode of 60-bit gram hashes, one count, one join back — linear,
+    hash-partitioned on one key throughout.
+    Engine op: operators/corpus.cross_doc_ngram_stats."""
+    return corpus.cross_doc_ngram_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+SQL_DEDUP_NGRAM_CROSSDOC = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+  FROM (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+4), ' ')) ELSE [] END)) AS gram
+        FROM t)
+), df AS (SELECT gh, count(*) AS n_docs FROM g GROUP BY gh)
+SELECT t.doc_id,
+  CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+  CASE WHEN coalesce(s.n_ngrams, 0) > 0 THEN CAST(floor(s.n_shared * 1000 / s.n_ngrams) AS BIGINT) END AS shared_x1e3
+FROM t LEFT JOIN (
+  SELECT g.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM g JOIN df USING (gh) GROUP BY g.doc_id
+) s USING (doc_id)
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate (Rae et al. 2021 table A1):
+    word-count band, mean-word-length band, duplicate-2-gram ceiling,
+    top-word-share ceiling; emits every signal plus the keep flag.
+    Engine op: operators/corpus.gopher_quality."""
+    return corpus.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(floor(list_sum(list_transform(w, x -> length(x))) * 100.0
+         / greatest(len(w), 1)) AS BIGINT) AS mean_tok_len_x100,
+    CAST(len(list_filter(w, x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stop,
+    CASE WHEN len(w) >= 2 THEN CAST(floor(
+      (len(w)-1 - len(list_distinct(list_transform(range(1, len(w)), i -> array_to_string(list_slice(w, i, i+1), ' ')))))
+      * 1000 / (len(w)-1)) AS BIGINT) END AS dup_2gram_x1e3,
+    CASE WHEN len(w) > 0 THEN CAST(floor(
+      list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d))))
+      * 1000 / len(w)) AS BIGINT) END AS top_word_x1e3
+  FROM t
+)
+SELECT doc_id, n_words, mean_tok_len_x100, n_stop, dup_2gram_x1e3, top_word_x1e3,
+  (n_words >= 5 AND n_words <= 100000
+   AND mean_tok_len_x100 >= 150 AND mean_tok_len_x100 <= 1200
+   AND coalesce(dup_2gram_x1e3, 0) <= 600
+   AND coalesce(top_word_x1e3, 0) <= 300
+   AND n_stop >= 0) AS keep
+FROM feats
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms, TF-IDF-shaped but
+    integer-exact: rank by (tf DESC, corpus df ASC, term ASC) — the
+    TF-IDF ordering without a float log, so the compare is bit-stable.
+    Engine op: operators/corpus.top_terms."""
+    return corpus.top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term FROM documents)
+  GROUP BY doc_id, term
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+FROM (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+      FROM tf JOIN dfq USING (term))
+WHERE rank <= 3
+"""
+
+
 def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column: queries are
     vec_id < 3, k=5. All arithmetic in exact scaled integers (components
@@ -1343,6 +1463,48 @@ FROM documents
 """
 
 
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container video path end-to-end IN the engine (round 4): per
+    document, its text bytes are packed as 16-byte samples into an actual
+    ISO-BMFF MP4 (functions/mp4.mux_mp4 — ftyp + mdat + full moov/stbl),
+    then video_meta demuxes the container back through the magic dispatch
+    (tkhd 16.16 dims, mdhd timescale/duration, stsz count). The muxer's
+    fixed geometry makes every field closed-form for the DuckDB oracle.
+    Both stages map-only Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    from tapdata_connectors_spark.functions import multimodal as mm
+    from tapdata_connectors_spark.functions.mp4 import mux_mp4
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = t.encode("utf-8")
+                frames = [tb[j * 16:(j + 1) * 16] for j in range(len(tb) // 16)]
+                rows.append((int(i), mux_mp4(frames)))
+            yield pd.DataFrame(rows, columns=["id", "video"])
+
+    vids = docs.mapInPandas(enc, "id long, video binary")
+    return mm.video_meta(vids).select(
+        F.col("id").alias("doc_id"), "width", "height", "timescale",
+        "duration", "n_samples",
+    )
+
+
+SQL_MULTIMODAL_MP4_META = """
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS width,
+       CAST(48 AS INTEGER) AS height,
+       CAST(1000 AS INTEGER) AS timescale,
+       CAST(40 * (strlen(text) // 16) AS BIGINT) AS duration,
+       CAST(strlen(text) // 16 AS BIGINT) AS n_samples
+FROM documents
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: document bytes packed as FVID blobs
     (16-byte frames, tail dropped), then every 4th frame emitted as its
@@ -1444,6 +1606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
+    "text_repetition": q_text_repetition,
+    "dedup_ngram_crossdoc": q_dedup_ngram_crossdoc,
+    "gopher_quality": q_gopher_quality,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "token_count_bpe": q_token_count_bpe,
     "knn_brute_cosine": q_knn_brute_cosine,
 }
@@ -1467,6 +1633,10 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "dedup_ngram_crossdoc": SQL_DEDUP_NGRAM_CROSSDOC,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "knn_brute_cosine": SQL_KNN_BRUTE_COSINE,
 }
@@ -1487,6 +1657,7 @@ QUERIES.update({
     "dedup_simhash_closure": q_dedup_simhash_closure,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
+    "multimodal_mp4_meta": q_multimodal_mp4_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "resume_from_timestamp": q_resume_from_timestamp,
     "table_stats": q_table_stats,
@@ -1508,6 +1679,7 @@ ORACLE_SQL.update({
     "dedup_simhash_closure": SQL_DEDUP_SIMHASH_CLOSURE,
     "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
     "multimodal_jpeg_meta": SQL_MULTIMODAL_JPEG_META,
+    "multimodal_mp4_meta": SQL_MULTIMODAL_MP4_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,
     "table_stats": SQL_TABLE_STATS,

@@ -468,3 +468,89 @@ def test_dedup_pages_leaves_no_cached_rdds(spark, tmpdir_, method, closure):
     assert rep["n_losers"] >= 1
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     assert after <= before, f"curation leaked cached RDDs: {after - before}"
+
+
+# ---------------------------------------------------------------------------
+# round 4: repetition / cross-doc n-grams / quality gate / top terms
+# ---------------------------------------------------------------------------
+
+def _py_ngrams(t, n):
+    w = _py_tokens(t)
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)] if len(w) >= n else []
+
+
+def test_repetition_stats_vs_oracle(spark):
+    rows = {r.doc_id: r for r in corpus.repetition_stats(_docs_df(spark)).collect()}
+    for i, t in DOCS:
+        w = _py_tokens(t)
+        r = rows[i]
+        assert r.n_words == len(w)
+        for n, col in ((2, r.dup_2gram_x1e3), (3, r.dup_3gram_x1e3)):
+            g = _py_ngrams(t, n)
+            exp = (len(g) - len(set(g))) * 1000 // len(g) if g else None
+            assert col == exp, (i, n)
+        top = max(w.count(d) for d in set(w))
+        assert r.top_word_x1e3 == top * 1000 // len(w)
+
+
+def test_repetition_stats_degenerate(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="word"), Row(doc_id=2, text="a a a a")])
+    rows = {r.doc_id: r for r in corpus.repetition_stats(df).collect()}
+    assert rows[1].dup_2gram_x1e3 is None          # 1 token -> no 2-grams
+    assert rows[1].top_word_x1e3 == 1000
+    assert rows[2].dup_2gram_x1e3 == 666           # 3 grams, 1 distinct
+    assert rows[2].top_word_x1e3 == 1000
+
+
+def test_cross_doc_ngram_stats_vs_oracle(spark):
+    n = 3
+    per_doc = {i: set(_py_ngrams(t, n)) for i, t in DOCS}
+    from collections import Counter
+    docfreq = Counter(g for s in per_doc.values() for g in s)
+    rows = {r.doc_id: r for r in
+            corpus.cross_doc_ngram_stats(_docs_df(spark), n=n).collect()}
+    assert set(rows) == {i for i, _ in DOCS}       # empty-gram docs kept
+    for i, _ in DOCS:
+        grams = per_doc[i]
+        shared = sum(1 for g in grams if docfreq[g] > 1)
+        assert rows[i].n_ngrams == len(grams)
+        assert rows[i].n_shared == shared, i
+        exp = shared * 1000 // len(grams) if grams else None
+        assert rows[i].shared_x1e3 == exp
+
+
+def test_cross_doc_ngram_stats_keeps_short_docs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="only two"), Row(doc_id=2, text="a b c d e f")])
+    rows = {r.doc_id: r for r in
+            corpus.cross_doc_ngram_stats(df, n=5).collect()}
+    assert rows[1].n_ngrams == 0 and rows[1].n_shared == 0
+    assert rows[1].shared_x1e3 is None
+    assert rows[2].n_ngrams == 2 and rows[2].n_shared == 0
+
+
+def test_gopher_quality_flags(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a sensible document with several distinct words inside it"),
+        Row(doc_id=2, text="spam spam spam spam spam spam spam spam"),   # top-word share 1000
+        Row(doc_id=3, text="too short"),                                  # n_words < 5
+    ])
+    rows = {r.doc_id: r for r in corpus.gopher_quality(df).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].top_word_x1e3 == 1000
+    assert rows[3].keep is False and rows[3].n_words == 2
+
+
+def test_top_terms_ordering_and_ties(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="zebra zebra apple common common common"),
+        Row(doc_id=2, text="common banana"),
+    ])
+    # doc 1: tf common=3 > zebra=2 > apple=1; doc 2 ties tf=1 -> rarer df
+    # first (banana df=1 < common df=2)
+    out = corpus.top_terms(df, k=2).collect()
+    d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.rank)
+    d2 = sorted([r for r in out if r.doc_id == 2], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["common", "zebra"]
+    assert [r.term for r in d2] == ["banana", "common"]
+    assert d2[0].df == 1 and d2[1].df == 2

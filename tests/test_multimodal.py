@@ -432,3 +432,23 @@ def test_mp4_through_sample_frames_spark(spark):
     for r in got:
         assert bytes(r["frame"]) == frames[r["frame_idx"]]
         assert r["frame_md5"] == hashlib.md5(frames[r["frame_idx"]]).hexdigest()
+
+
+def test_video_meta_mp4_and_fvid(spark):
+    from pyspark.sql import Row
+
+    from tapdata_connectors_spark.functions.mp4 import mux_mp4
+    from tapdata_connectors_spark.functions.multimodal import encode_fvid, video_meta
+
+    frames = [bytes([i]) * 16 for i in range(6)]
+    df = spark.createDataFrame([
+        Row(id=1, video=bytearray(mux_mp4(frames, width=320, height=240,
+                                          timescale=90000, sample_delta=3000))),
+        Row(id=2, video=bytearray(encode_fvid(frames))),
+    ])
+    rows = {r.id: r for r in video_meta(df).collect()}
+    m = rows[1]
+    assert (m.width, m.height, m.timescale) == (320, 240, 90000)
+    assert m.duration == 6 * 3000 and m.n_samples == 6
+    f = rows[2]
+    assert f.width is None and f.timescale is None and f.n_samples == 6
