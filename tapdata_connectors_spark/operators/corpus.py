@@ -198,7 +198,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
 
 
 def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          cache_registry: list | None = None) -> DataFrame:
     """Cross-document duplicated-n-gram accounting — the detection half of
     exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): per document, how many of its distinct
@@ -209,12 +210,18 @@ def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     the hash counting documents, one join back on the hash, one per-doc
     re-aggregation — all hash-partitioned on the same key, linear in
     corpus size. The classic suffix-array approach is a single-node
-    design; this is its distributable n-gram-inventory equivalent."""
+    design; this is its distributable n-gram-inventory equivalent. The
+    gram frame feeds both the count and the join side, so it is
+    persisted (tokenize+hash runs once); `cache_registry` receives the
+    release handle (same hygiene contract as near_dup_pairs)."""
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(F.array_distinct(word_ngrams(F.col(text_col), n)))
         .alias("gram"),
     ).select("doc_id", md5_slice(F.col("gram"), 15).alias("gh"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(grams)
     docfreq = (
         grams.filter(F.col("gh").isNotNull())
         .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -269,7 +276,8 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
 
 
 def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              cache_registry: list | None = None) -> DataFrame:
     """Per-document top-k characteristic terms, TF-IDF-shaped but
     integer-exact: rank a doc's distinct terms by (term frequency DESC,
     corpus document frequency ASC, term ASC) — high-tf rare-df first,
@@ -288,6 +296,11 @@ def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                   F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
+    # tf feeds both the df aggregation and the join probe side — persist
+    # so tokenize+explode runs once (release via cache_registry)
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(tf)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
