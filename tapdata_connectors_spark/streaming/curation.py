@@ -94,7 +94,6 @@ def dedup_pages(pipe, method: str = "exact",
     """
     t0 = time.time()
     t = pipe.init_table()
-    key = t.manifest().key
     epoch_key = f"curation:{method}:{tag}"
     if t.epoch_applied(epoch_key):
         return {"skipped": True, "epoch_key": epoch_key}
@@ -104,57 +103,10 @@ def dedup_pages(pipe, method: str = "exact",
         pipe, method, cfg, closure=closure, cache_registry=caches,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # one job: touched buckets + loser count + key bytes (broadcast sizing)
-        per_b = (
-            losers.groupBy(t.bucket_expr(key).alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length(key)).alias("kb"))
-            .collect()
+        return _tombstone_losers(
+            pipe, t, losers, epoch_key, dry_run, t0,
+            summary={"op": "dedup_pages", "method": method},
         )
-        touched = sorted(r["b"] for r in per_b)
-        n_losers = sum(r["n"] for r in per_b)
-        key_bytes = sum(r["kb"] or 0 for r in per_b)
-        if dry_run or not touched:
-            return {"n_losers": n_losers, "touched_buckets": touched,
-                    "dry_run": dry_run, "epoch_key": epoch_key,
-                    "version": t.current_version()}
-
-        # pin ONE manifest snapshot (same rule as compact): the replaced
-        # file set and the resolved rows must come from the same version
-        pinned = t.current_version()
-        snap = t.manifest(pinned)
-        tset = set(touched)
-        consumed = {f["path"] for f in snap.files if f["bucket"] in tset}
-        resolved = t.read_raw(version=pinned, buckets=touched).withColumn(
-            "_mb", t.bucket_expr()
-        )
-        lkeys = losers.select(F.col(key), F.lit(True).alias("_is_loser"))
-        if key_bytes <= BROADCAST_KEY_BYTES:
-            lkeys = F.broadcast(lkeys)
-        flipped = (
-            resolved.join(lkeys, key, "left")
-            .withColumn(
-                TOMBSTONE_COL,
-                F.col(TOMBSTONE_COL) | F.coalesce(F.col("_is_loser"), F.lit(False)),
-            )
-            .drop("_is_loser")
-        )
-        entries = t.write_data_files(flipped, "_mb")
-        version = t.commit_files(
-            entries,
-            replaced_paths=consumed,
-            epoch_key=epoch_key,
-            summary={"op": "dedup_pages", "method": method, "n_losers": n_losers},
-        )
-        wall_ms = int((time.time() - t0) * 1000)
-        # per-partition lineage rows: curation deletes under CURATION_EPOCH
-        for r in per_b:
-            pipe._lineage_rows.append((
-                CURATION_EPOCH, 0, int(r["b"]), None, None, int(r["n"]),
-                0, 0, int(r["n"]), 0, 0, 0, 0, int(r["n"]), wall_ms,
-            ))
-        pipe.flush_lineage()
-        return {"n_losers": n_losers, "touched_buckets": touched,
-                "version": version, "epoch_key": epoch_key, "wall_ms": wall_ms}
     finally:
         # blocking: a curation pass must leave NO cached partitions behind
         # (long-lived sessions run many passes; async removal races the
@@ -162,3 +114,107 @@ def dedup_pages(pipe, method: str = "exact",
         losers.unpersist(blocking=True)
         for c in caches:
             c.unpersist(blocking=True)
+
+
+def _tombstone_losers(pipe, t, losers: DataFrame, epoch_key: str,
+                      dry_run: bool, t0: float, summary: dict) -> dict:
+    """Shared curation commit: tombstone every row of `losers` (a frame
+    holding the table key column) at its own stored (ts, seq) via a
+    compaction-style rewrite of the touched buckets. Idempotence,
+    atomicity, and lineage semantics as documented in the module
+    docstring; callers own persisting/releasing `losers`."""
+    key = t.manifest().key
+    # one job: touched buckets + loser count + key bytes (broadcast sizing)
+    per_b = (
+        losers.groupBy(t.bucket_expr(key).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length(key)).alias("kb"))
+        .collect()
+    )
+    touched = sorted(r["b"] for r in per_b)
+    n_losers = sum(r["n"] for r in per_b)
+    key_bytes = sum(r["kb"] or 0 for r in per_b)
+    if dry_run or not touched:
+        return {"n_losers": n_losers, "touched_buckets": touched,
+                "dry_run": dry_run, "epoch_key": epoch_key,
+                "version": t.current_version()}
+
+    # pin ONE manifest snapshot (same rule as compact): the replaced
+    # file set and the resolved rows must come from the same version
+    pinned = t.current_version()
+    snap = t.manifest(pinned)
+    tset = set(touched)
+    consumed = {f["path"] for f in snap.files if f["bucket"] in tset}
+    resolved = t.read_raw(version=pinned, buckets=touched).withColumn(
+        "_mb", t.bucket_expr()
+    )
+    lkeys = losers.select(F.col(key), F.lit(True).alias("_is_loser"))
+    if key_bytes <= BROADCAST_KEY_BYTES:
+        lkeys = F.broadcast(lkeys)
+    flipped = (
+        resolved.join(lkeys, key, "left")
+        .withColumn(
+            TOMBSTONE_COL,
+            F.col(TOMBSTONE_COL) | F.coalesce(F.col("_is_loser"), F.lit(False)),
+        )
+        .drop("_is_loser")
+    )
+    entries = t.write_data_files(flipped, "_mb")
+    version = t.commit_files(
+        entries,
+        replaced_paths=consumed,
+        epoch_key=epoch_key,
+        summary={**summary, "n_losers": n_losers},
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    # per-partition lineage rows: curation deletes under CURATION_EPOCH
+    for r in per_b:
+        pipe._lineage_rows.append((
+            CURATION_EPOCH, 0, int(r["b"]), None, None, int(r["n"]),
+            0, 0, int(r["n"]), 0, 0, 0, 0, int(r["n"]), wall_ms,
+        ))
+    pipe.flush_lineage()
+    return {"n_losers": n_losers, "touched_buckets": touched,
+            "version": version, "epoch_key": epoch_key, "wall_ms": wall_ms}
+
+
+def find_low_quality_pages(pipe, policy: dict | None = None) -> DataFrame:
+    """(url,) for every live page failing the Gopher-style composite
+    quality gate (operators/corpus.gopher_quality) on the current
+    resolved table state. Pure query — no writes. `policy` overrides the
+    gate's keyword thresholds (min_words, mean_len_x100, ...)."""
+    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+
+    t = pipe.init_table()
+    key = t.manifest().key
+    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
+    live = t.read_raw().filter(~F.col(TOMBSTONE_COL))
+    q = corpus.gopher_quality(live, id_col=key, text_col=text_name,
+                              **(policy or {}))
+    return q.filter(~F.col("keep")).select(F.col("doc_id").alias(key))
+
+
+def prune_pages(pipe, policy: dict | None = None, tag: str = "0",
+                dry_run: bool = False) -> dict:
+    """Quality-filter curation stage: tombstone every live page failing
+    the Gopher gate, through the same compaction-style commit as
+    dedup_pages — idempotent per tag (epoch_key guard), atomic via the
+    manifest CAS, lineage rows under CURATION_EPOCH, and last-writer-wins
+    preserved (a genuinely newer source event resurrects a pruned url;
+    an old redelivery stays stale). The gate itself is map-only, so the
+    find phase is one scan of the live buckets."""
+    t0 = time.time()
+    t = pipe.init_table()
+    epoch_key = f"curation:quality:{tag}"
+    if t.epoch_applied(epoch_key):
+        return {"skipped": True, "epoch_key": epoch_key}
+
+    losers = find_low_quality_pages(pipe, policy).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _tombstone_losers(
+            pipe, t, losers, epoch_key, dry_run, t0,
+            summary={"op": "prune_pages"},
+        )
+    finally:
+        losers.unpersist(blocking=True)

@@ -554,3 +554,77 @@ def test_top_terms_ordering_and_ties(spark):
     assert [r.term for r in d1] == ["common", "zebra"]
     assert [r.term for r in d2] == ["banana", "common"]
     assert d2[0].df == 1 and d2[1].df == 2
+
+
+# ---------------------------------------------------------------------------
+# lake integration: prune_pages (quality-gate curation)
+# ---------------------------------------------------------------------------
+
+def test_prune_pages_quality_gate(spark, tmpdir_):
+    from tapdata_connectors_spark.streaming import find_low_quality_pages, prune_pages
+
+    pages = [
+        ("q/good", _H.format("a perfectly sensible document with many distinct words")),
+        ("q/spam", _H.format("spam spam spam spam spam spam spam spam")),  # top-word 1000
+        ("q/tiny", _H.format("too short")),                                # n_words < 5
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    bad = {r["url"] for r in find_low_quality_pages(pipe).collect()}
+    assert bad == {"q/spam", "q/tiny"}
+
+    rep = prune_pages(pipe, tag="t1")
+    assert rep["n_losers"] == 2
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    assert left == {"q/good"}
+    # raw state keeps the tombstones at their own (ts, seq)
+    raw = {r["url"] for r in pipe.table.read_raw().select("url").collect()}
+    assert raw == {"q/good", "q/spam", "q/tiny"}
+    # idempotent per tag; lineage under the curation epoch
+    assert prune_pages(pipe, tag="t1").get("skipped") is True
+    from tapdata_connectors_spark.streaming.curation import CURATION_EPOCH
+    lin = pipe.lineage().filter(F.col("epoch") == CURATION_EPOCH)
+    assert lin.agg(F.sum("n_delete")).collect()[0][0] == 2
+
+
+def test_prune_pages_policy_override_and_resurrection(spark, tmpdir_):
+    import datetime
+
+    from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+    from tapdata_connectors_spark.streaming import prune_pages
+
+    pages = [
+        ("q/a", _H.format("five words is just enough here")),
+        ("q/b", _H.format("one two three four five six seven eight nine ten")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    # tighten the floor so q/a (6 words) fails but q/b (10 words) passes
+    rep = prune_pages(pipe, policy={"min_words": 8}, tag="strict")
+    assert rep["n_losers"] == 1
+    assert {r["url"] for r in pipe.table.read().select("url").collect()} == {"q/b"}
+
+    # a genuinely newer insert resurrects the pruned url (LWW preserved)
+    ts = datetime.datetime(2027, 1, 1)
+    ev = spark.createDataFrame([Row(
+        event_seq=100, epoch=1, op="I", url="q/a", warc_ts=ts,
+        before=None,
+        after=Row(url="q/a", warc_ts=ts,
+                  html=_H.format("a much longer and perfectly acceptable recrawl body").encode(),
+                  lang="en"),
+        removed_fields=None, extras=None, ddl=None,
+        exactly_once_id="x100", ts_ms=None,
+    )], schema=EVENTS_SCHEMA)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+    rows = {r["url"] for r in pipe.table.read().select("url").collect()}
+    assert rows == {"q/a", "q/b"}
+
+
+def test_prune_pages_leaves_no_cached_rdds(spark, tmpdir_):
+    from tapdata_connectors_spark.streaming import prune_pages
+
+    pages = [("q/spam", _H.format("spam spam spam spam spam spam")),
+             ("q/ok", _H.format("a document with several distinct words inside"))]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    prune_pages(pipe, tag="t1")
+    from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
+    assert _persistent_rdd_ids(spark.sparkContext) == set()
