@@ -275,6 +275,46 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_keep_col(text_col: Column,
+                     min_words: int = 5, max_words: int = 100000,
+                     mean_len_x100: tuple[int, int] = (150, 1200),
+                     max_dup_2gram_x1e3: int = 600,
+                     max_top_word_x1e3: int = 300,
+                     min_stop: int = 0,
+                     stopwords: list[str] | None = None) -> Column:
+    """The gopher_quality keep flag as a single boolean Column — the
+    ingest-time enrichment form (CdcPipeline(enrich=["quality_keep"])):
+    the gate evaluates inside the ingest projection, so curation by
+    quality becomes a stored-column predicate with zero extra corpus
+    passes. Same defaults and semantics as gopher_quality (parity is
+    pytest-asserted); map-only JVM higher-order functions."""
+    sw = stopwords or _STOPWORDS
+    w = tokens(text_col)
+    n_words = F.size(w)
+    mean_len = F.floor(
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)) * 100
+        / F.greatest(n_words, F.lit(1))
+    )
+    g2 = word_ngrams(text_col, 2)
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.floor((F.size(g2) - F.size(F.array_distinct(g2))) * 1000 / F.size(g2)),
+    ).otherwise(F.lit(0))
+    top_cnt = F.aggregate(
+        F.array_distinct(w), F.lit(0),
+        lambda acc, d: F.greatest(acc, F.size(F.filter(w, lambda x: x == d))),
+    )
+    topw = F.when(n_words > 0, F.floor(top_cnt * 1000 / n_words)).otherwise(F.lit(0))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(sw)))
+    return (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_len >= mean_len_x100[0]) & (mean_len <= mean_len_x100[1])
+        & (dup2 <= max_dup_2gram_x1e3)
+        & (topw <= max_top_word_x1e3)
+        & (n_stop >= min_stop)
+    )
+
+
 def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
               text_col: str = "text",
               cache_registry: list | None = None) -> DataFrame:

@@ -69,7 +69,18 @@ def _enrich_pred_lang(c):
     return corpus.lang_id_col(c)
 
 
-ENRICHMENTS = {"fingerprint": _enrich_fingerprint, "pred_lang": _enrich_pred_lang}
+def _enrich_quality_keep(c):
+    from tapdata_connectors_spark.operators import corpus
+
+    return corpus.quality_keep_col(c)
+
+
+# name -> (column builder over the extracted text, stored column type)
+ENRICHMENTS = {
+    "fingerprint": (_enrich_fingerprint, "string"),
+    "pred_lang": (_enrich_pred_lang, "string"),
+    "quality_keep": (_enrich_quality_keep, "boolean"),
+}
 
 
 class CdcPipeline:
@@ -157,7 +168,7 @@ class CdcPipeline:
                     self.spark,
                     self.table_path,
                     fields=[(n, t.simpleString()) for n, t, _ in PAGES_FIELDS]
-                    + [(n, "string") for n in self.enrich],
+                    + [(n, ENRICHMENTS[n][1]) for n in self.enrich],
                     key="url",
                     n_buckets=self.n_buckets,
                 )
@@ -202,7 +213,7 @@ class CdcPipeline:
             for fid, ename in self._enrich_ids.items():
                 cur = self._current_name_of(fid)
                 if cur is not None and text_name is not None:
-                    out.append((cur, text_name, ENRICHMENTS[ename]))
+                    out.append((cur, text_name, ENRICHMENTS[ename][0]))
         return out
 
     def _current_name_of(self, field_id: int) -> str | None:
@@ -224,8 +235,8 @@ class CdcPipeline:
             if name not in df.columns:
                 df = df.withColumn(
                     name,
-                    ENRICHMENTS[ename](F.col("text")) if "text" in df.columns
-                    else F.lit(None).cast("string"),
+                    ENRICHMENTS[ename][0](F.col("text")) if "text" in df.columns
+                    else F.lit(None).cast(ENRICHMENTS[ename][1]),
                 )
         df = (
             df.withColumn(SEQ_COL, F.lit(-1).cast("long"))

@@ -628,3 +628,27 @@ def test_prune_pages_leaves_no_cached_rdds(spark, tmpdir_):
     prune_pages(pipe, tag="t1")
     from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
     assert _persistent_rdd_ids(spark.sparkContext) == set()
+
+
+def test_quality_keep_col_parity_with_gopher_quality(spark):
+    df = _docs_df(spark).union(spark.createDataFrame(
+        [Row(doc_id=100, text="spam spam spam spam spam spam"),
+         Row(doc_id=101, text="tiny")]))
+    via_col = {r.doc_id: r.k for r in
+               df.select("doc_id", corpus.quality_keep_col(F.col("text")).alias("k")).collect()}
+    via_op = {r.doc_id: r.keep for r in corpus.gopher_quality(df).collect()}
+    assert via_col == via_op
+
+
+def test_enrichment_quality_keep_end_to_end(spark, tmpdir_):
+    pages = [
+        ("e/good", _H.format("a perfectly sensible document with many distinct words")),
+        ("e/spam", _H.format("spam spam spam spam spam spam spam spam")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages, enrich=["quality_keep"])
+    rows = {r["url"]: r["quality_keep"]
+            for r in pipe.table.read().select("url", "quality_keep").collect()}
+    assert rows == {"e/good": True, "e/spam": False}
+    # stored type is boolean, and the enrichment column is not foldable
+    assert dict(pipe.table.read().dtypes)["quality_keep"] == "boolean"
+    assert "quality_keep" not in [s.name for s in pipe.payload_specs()]
