@@ -105,6 +105,9 @@ class LocalFS:
         elif os.path.exists(path):
             os.remove(path)
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
     def local_path(self, path: str) -> str | None:
         return path
 
@@ -210,6 +213,10 @@ class HadoopFS:
         jp = self._path(path)
         if self._fs.exists(jp):
             self._fs.delete(jp, recursive)
+
+    def mtime(self, path: str) -> float:
+        # Hadoop reports epoch millis
+        return self._fs.getFileStatus(self._path(path)).getModificationTime() / 1000.0
 
     def local_path(self, path: str) -> str | None:
         """Local filesystem path if this FS is actually local (file://),

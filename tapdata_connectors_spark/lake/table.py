@@ -761,3 +761,76 @@ class LakeTable:
 
     def epoch_applied(self, epoch_key: str) -> bool:
         return epoch_key in self.manifest().applied_epochs
+
+    def vacuum(self, retain_last: int = 2, min_age_sec: float = 3600.0) -> dict:
+        """Physically delete data files and manifests no retained snapshot
+        references (Delta VACUUM / Iceberg expireSnapshots analog —
+        reference cleanup paths like PDKInvocationMonitor release are
+        connector-local; a shared lake needs snapshot-scoped GC or
+        replaced files accumulate forever: every COW epoch rewrites
+        touched buckets and every compaction retires delta files, so at
+        10^5 epochs the dead:live byte ratio is unbounded).
+
+        Retention contract (same shape as Delta's):
+        - the last `retain_last` manifests stay readable (time travel
+          inside the window; older `read(version=...)` raises);
+        - `min_age_sec` guards IN-FLIGHT writers: write_data_files lands
+          files BEFORE commit_files references them, so an unreferenced
+          file younger than the window may belong to an uncommitted
+          epoch and is kept (a crashed writer's orphans age out and are
+          collected by the next vacuum). Set it well above the longest
+          write+commit latency; 0 only in tests.
+        - safe against CONCURRENT commits: a racing writer rebuilds its
+          keep-list from the current head (retained) and its new entries
+          are fresh uuid-named files (age 0 < min_age_sec) — neither can
+          reference a deleted path.
+        """
+        if retain_last < 1:
+            raise ValueError("vacuum: retain_last must be >= 1")
+        head = self.current_version()
+        floor_v = head - retain_last + 1
+        keep_versions = [v for v in self._manifest_versions() if v >= floor_v]
+        referenced = {
+            f["path"] for v in keep_versions for f in self.manifest(v).files
+        }
+
+        data_root = self._io.join("data")
+        deleted_files = skipped_recent = 0
+        now = time.time()
+        touched_dirs: set[str] = set()
+        for ap in self._io.glob_files(
+            posixpath.join(data_root, "c*", "__bucket=*", "*.parquet")
+        ):
+            parts = ap.rstrip("/").split("/")
+            rel = posixpath.join("data", *parts[-3:])
+            if rel in referenced:
+                continue
+            try:
+                if now - self._io.mtime(ap) < min_age_sec:
+                    skipped_recent += 1
+                    continue
+            except Exception:
+                continue  # raced a concurrent delete/rename — leave it
+            self._io.delete(ap)
+            touched_dirs.add(posixpath.join(data_root, parts[-3]))
+            deleted_files += 1
+        # drop commit dirs emptied by the sweep (bucket dirs first)
+        for cdir in touched_dirs:
+            for sub in self._io.list_names(cdir):
+                subp = posixpath.join(cdir, sub)
+                if not self._io.glob_files(posixpath.join(subp, "*")):
+                    self._io.delete(subp, recursive=True)
+            if not self._io.list_names(cdir):
+                self._io.delete(cdir, recursive=True)
+
+        deleted_manifests = 0
+        for v in self._manifest_versions():
+            if v < floor_v:
+                self._io.delete(posixpath.join(self._mdir, f"v{v}.json"))
+                deleted_manifests += 1
+        return {
+            "retained_versions": keep_versions,
+            "deleted_files": deleted_files,
+            "deleted_manifests": deleted_manifests,
+            "skipped_recent": skipped_recent,
+        }
