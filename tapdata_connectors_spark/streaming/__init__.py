@@ -1,6 +1,7 @@
 from tapdata_connectors_spark.streaming.curation import (
     dedup_pages,
     find_dup_pages,
+    find_new_dup_pages,
     find_low_quality_pages,
     prune_pages,
 )
@@ -8,5 +9,5 @@ from tapdata_connectors_spark.streaming.driver import CdcPipeline
 from tapdata_connectors_spark.streaming.stateful import seq_continuity_monitor
 
 __all__ = ["CdcPipeline", "dedup_pages", "find_dup_pages",
-           "find_low_quality_pages", "prune_pages",
+           "find_new_dup_pages", "find_low_quality_pages", "prune_pages",
            "seq_continuity_monitor"]

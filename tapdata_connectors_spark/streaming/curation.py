@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from tapdata_connectors_spark.lake.merge import BROADCAST_KEY_BYTES
 from tapdata_connectors_spark.operators import corpus
-from tapdata_connectors_spark.schema import TOMBSTONE_COL
+from tapdata_connectors_spark.schema import SEQ_COL, TOMBSTONE_COL
 
 # lineage epoch tag for curation commits — far above any source epoch
 CURATION_EPOCH = 1 << 20
@@ -77,10 +77,132 @@ def find_dup_pages(pipe, method: str = "exact",
     raise ValueError(f"unknown dedup method {method!r} (exact|minhash|simhash)")
 
 
+def find_new_dup_pages(pipe, since_version: int,
+                       cache_registry: list | None = None) -> DataFrame:
+    """INCREMENTAL exact dedup: (url, survivor_id) for pages touched
+    since `since_version` that duplicate a live page. The full-corpus
+    pass (find_dup_pages) is O(corpus) per run; at 10^10 pages a
+    per-epoch re-run is unaffordable, so the incremental pass is built
+    to be O(delta + probe):
+
+    - candidate keys come from the MANIFEST DIFF — only data/delta files
+      committed after `since_version` are read (head files minus the old
+      snapshot's paths), so discovering "what changed" never scans the
+      table. COW rewrites are bucket-granular (an epoch's new base file
+      carries every bucket-mate), so the file keys are refined by an
+      anti-join of (key, seq) against the old snapshot of the same
+      buckets — a column-pruned two-column read — leaving exactly the
+      rows whose state actually moved; MOR delta files are already
+      event-precise and anti-join through unchanged;
+    - the digest scan uses the STORED fingerprint enrichment column when
+      the pipeline ingests one (CdcPipeline(enrich=["fingerprint"]) —
+      zero recompute, and parquet column pruning means the probe reads
+      two skinny columns, never html/text), falling back to hashing the
+      extracted text;
+    - only digest groups that CONTAIN a touched key shuffle: the touched
+      digests are semi-joined (broadcast when delta-sized) against the
+      corpus digest frame, so the groupBy runs over candidate rows, not
+      the table.
+
+    Survivorship prefers the incumbent: winner = (existing before new,
+    then min key), so an incremental pass never tombstones an untouched
+    page — re-running old curation decisions is the full pass's job."""
+    t = pipe.init_table()
+    m = t.manifest()
+    key = m.key
+    old_paths = {f["path"] for f in t.manifest(since_version).files}
+    new_files = [f for f in m.files if f["path"] not in old_paths]
+    empty = pipe.spark.createDataFrame(
+        [], f"{key} string, survivor_id string"
+    )
+    if not new_files:
+        return empty
+
+    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+
+    # (key, seq) rows carried by the post-since_version files, per kind:
+    # base entries map numeric field ids (_read_base), delta entries use
+    # the MOR physical mapping ({"key": <phys>, "seq": "_final_seq"})
+    parts: list[DataFrame] = []
+    base_new = [f for f in new_files if f.get("kind") != "delta"]
+    delta_new = [f for f in new_files if f.get("kind") == "delta"]
+    if base_new:
+        parts.append(
+            t._read_base(m, base_new)
+            .select(F.col(key).alias("_k"), F.col(SEQ_COL).alias("_s"))
+        )
+    groups: dict[str, list[dict]] = {}
+    for fi in delta_new:
+        sig = f'{fi["columns"]["key"]}|{fi["columns"]["seq"]}'
+        groups.setdefault(sig, []).append(fi)
+    for grp in groups.values():
+        c = grp[0]["columns"]
+        parts.append(
+            pipe.spark.read.parquet(*[t._io.join(g["path"]) for g in grp])
+            .select(F.col(c["key"]).alias("_k"),
+                    F.col(c["seq"]).cast("long").alias("_s"))
+        )
+    file_rows = parts[0]
+    for p in parts[1:]:
+        file_rows = file_rows.unionByName(p)
+
+    # refine to rows whose (key, seq) is NOT in the old snapshot of the
+    # same buckets — drops COW bucket-mates, keeps real inserts/updates
+    new_buckets = sorted({f["bucket"] for f in new_files})
+    old_state = t.read_raw(version=since_version, buckets=new_buckets).select(
+        F.col(key).alias("_k"), F.col(SEQ_COL).alias("_s")
+    )
+    new_keys = (
+        file_rows.join(old_state, ["_k", "_s"], "left_anti")
+        .select(F.col("_k").alias(key)).distinct()
+    )
+    new_keys = new_keys.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(new_keys)
+    stats = new_keys.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length(key)).alias("b")
+    ).collect()[0]
+    if not stats["n"]:
+        return empty
+    delta_is_small = (stats["b"] or 0) <= BROADCAST_KEY_BYTES
+
+    fp_name = next(
+        (pipe._current_name_of(fid)
+         for fid, en in pipe._enrich_ids.items() if en == "fingerprint"),
+        None,
+    )
+    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
+    live = t.read_raw().filter(~F.col(TOMBSTONE_COL))
+    fp_col = (F.col(fp_name) if fp_name
+              else corpus.fingerprint(F.col(text_name)))
+    d = live.select(F.col(key), fp_col.alias("_fp"))
+
+    flag = new_keys.select(F.col(key), F.lit(True).alias("_new"))
+    if delta_is_small:
+        flag = F.broadcast(flag)
+    d = d.join(flag, key, "left").withColumn(
+        "_new", F.coalesce(F.col("_new"), F.lit(False))
+    )
+    touched_fps = d.filter(F.col("_new")).select("_fp").distinct()
+    if delta_is_small:
+        touched_fps = F.broadcast(touched_fps)
+    cand = d.join(touched_fps, "_fp")
+    winners = cand.groupBy("_fp").agg(
+        F.min(F.struct(F.col("_new").cast("int").alias("o"),
+                       F.col(key).alias("k"))).alias("w")
+    )
+    return (
+        cand.join(winners, "_fp")
+        .filter(F.col("_new") & (F.col(key) != F.col("w.k")))
+        .select(F.col(key), F.col("w.k").alias("survivor_id"))
+    )
+
+
 def dedup_pages(pipe, method: str = "exact",
                 cfg: corpus.MinHashConfig | None = None,
                 tag: str = "0", dry_run: bool = False,
-                closure: bool = False) -> dict:
+                closure: bool = False,
+                since_version: int | None = None) -> dict:
     """Find duplicate pages and tombstone the losers (min-key survivor;
     closure=True uses connected-components survivorship for the near-dup
     methods — see find_dup_pages).
@@ -91,17 +213,32 @@ def dedup_pages(pipe, method: str = "exact",
     operators persist is released before return (cache_registry +
     finally), so a long-lived curation session holds no cached RDDs
     between passes.
+
+    `since_version` switches to the INCREMENTAL pass (method="exact"
+    only): candidates come from the manifest diff and incumbents always
+    survive — see find_new_dup_pages. The epoch_key carries the version
+    so per-epoch incremental passes don't collide.
     """
     t0 = time.time()
     t = pipe.init_table()
-    epoch_key = f"curation:{method}:{tag}"
+    if since_version is not None and method != "exact":
+        raise ValueError(
+            "incremental dedup (since_version) supports method='exact' — "
+            "near-dup methods need the full candidate pass"
+        )
+    epoch_key = (f"curation:{method}:since{since_version}:{tag}"
+                 if since_version is not None else f"curation:{method}:{tag}")
     if t.epoch_applied(epoch_key):
         return {"skipped": True, "epoch_key": epoch_key}
 
     caches: list = []
-    losers = find_dup_pages(
-        pipe, method, cfg, closure=closure, cache_registry=caches,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if since_version is not None:
+        losers = find_new_dup_pages(pipe, since_version, cache_registry=caches)
+    else:
+        losers = find_dup_pages(
+            pipe, method, cfg, closure=closure, cache_registry=caches,
+        )
+    losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _tombstone_losers(
             pipe, t, losers, epoch_key, dry_run, t0,

@@ -652,3 +652,77 @@ def test_enrichment_quality_keep_end_to_end(spark, tmpdir_):
     # stored type is boolean, and the enrichment column is not foldable
     assert dict(pipe.table.read().dtypes)["quality_keep"] == "boolean"
     assert "quality_keep" not in [s.name for s in pipe.payload_specs()]
+
+
+# ---------------------------------------------------------------------------
+# lake integration: incremental (manifest-diff) dedup
+# ---------------------------------------------------------------------------
+
+def _ins_events(spark, rows):
+    """rows: [(seq, epoch, url, body)] -> staged-log insert events."""
+    import datetime
+
+    from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+
+    def ins(seq, epoch, url, body):
+        ts = datetime.datetime(2026, 6, 1, 0, 0, seq % 60)
+        return Row(event_seq=seq, epoch=epoch, op="I", url=url, warc_ts=ts,
+                   before=None,
+                   after=Row(url=url, warc_ts=ts,
+                             html=_H.format(body).encode(), lang="en"),
+                   removed_fields=None, extras=None, ddl=None,
+                   exactly_once_id=f"x{seq}", ts_ms=None)
+
+    return spark.createDataFrame([ins(*r) for r in rows], schema=EVENTS_SCHEMA)
+
+
+@pytest.mark.parametrize("enrich,mode", [
+    ([], "cow"), (["fingerprint"], "cow"), ([], "mor"),
+])
+def test_dedup_pages_incremental(spark, tmpdir_, enrich, mode):
+    from tapdata_connectors_spark.streaming import dedup_pages, find_new_dup_pages
+
+    # bootstrap: i/p and i/q are PRE-EXISTING exact dups — an incremental
+    # pass must never touch untouched pages, even duplicated ones
+    pages = [
+        ("i/a", _H.format("incumbent alpha content")),
+        ("i/p", _H.format("legacy duplicated body")),
+        ("i/q", _H.format("legacy duplicated body")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages, enrich=enrich or None,
+                           merge_mode=mode)
+    v1 = pipe.table.current_version()
+
+    # epoch: i/c duplicates incumbent i/a; i/d + i/e are a NEW dup pair
+    ev = _ins_events(spark, [
+        (10, 0, "i/c", "incumbent alpha content"),
+        (11, 0, "i/d", "brand new body"),
+        (12, 0, "i/e", "brand new body"),
+    ])
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+
+    losers = {(r[0], r["survivor_id"])
+              for r in find_new_dup_pages(pipe, v1).collect()}
+    assert losers == {("i/c", "i/a"), ("i/e", "i/d")}
+
+    rep = dedup_pages(pipe, "exact", since_version=v1, tag="inc1")
+    assert rep["n_losers"] == 2
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    # incumbents all alive (including the legacy dup pair); new survivors kept
+    assert left == {"i/a", "i/p", "i/q", "i/c", "i/d", "i/e"} - {"i/c", "i/e"}
+    # idempotent per (since_version, tag)
+    assert dedup_pages(pipe, "exact", since_version=v1,
+                       tag="inc1").get("skipped") is True
+
+
+def test_dedup_pages_incremental_empty_delta_and_guards(spark, tmpdir_):
+    from tapdata_connectors_spark.streaming import dedup_pages, find_new_dup_pages
+
+    pipe = _bootstrap_pipe(spark, tmpdir_, [("i/a", _H.format("solo body here"))])
+    head = pipe.table.current_version()
+    assert find_new_dup_pages(pipe, head).count() == 0
+    rep = dedup_pages(pipe, "exact", since_version=head, tag="noop")
+    assert rep["n_losers"] == 0
+    with pytest.raises(ValueError, match="incremental"):
+        dedup_pages(pipe, "minhash", since_version=head)
