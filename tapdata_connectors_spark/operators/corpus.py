@@ -275,6 +275,87 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# PII detection patterns, ordered (redaction applies in list order, and
+# ORDER IS SEMANTIC: email first so a digit-bearing local part is not
+# half-eaten by the phone pattern, ipv4 before phone because dotted
+# quads are inside the phone pattern's character class). Kept to a
+# Java-regex / RE2 common core: no lookaround, no backrefs — the same
+# pattern string runs verbatim in Spark and DuckDB.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def redact_pii(text_col: Column,
+               patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace every PII match with a [CLASS] marker, applying the
+    pattern list in order (email before phone so a digit-bearing local
+    part is not half-eaten by the phone pattern). Map-only JVM
+    regexp_replace chain — the standard webtext-curation scrub (CCNet /
+    Dolma run exactly this family of regex passes at corpus scale)."""
+    out = text_col
+    for name, pat in (patterns or PII_PATTERNS):
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def _redaction_stages(text_col: Column,
+                      pats: list[tuple[str, str]]) -> list[Column]:
+    """[text, after-1st-redaction, after-2nd, ...] — stage i is the input
+    the (i+1)-th class is counted against."""
+    stages = [text_col]
+    for name, pat in pats:
+        stages.append(F.regexp_replace(stages[-1], pat, f"[{name.upper()}]"))
+    return stages
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              patterns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """(id, n_<class>..., redacted_md5) per document: match counts per
+    PII class plus a digest of the scrubbed text (the value a pipeline
+    stores; the digest makes cross-engine equality checkable without
+    shipping the text). Counts are SEQUENTIAL — each class is counted on
+    the text with earlier classes already redacted, so one span is never
+    double-attributed (an IP is an ipv4, not also a phone). Map-only."""
+    pats = patterns or PII_PATTERNS
+    stages = _redaction_stages(F.col(text_col), pats)
+    cols = [F.col(id_col).alias("doc_id")]
+    for i, (name, pat) in enumerate(pats):
+        cols.append(
+            F.size(F.regexp_extract_all(stages[i], F.lit(pat), 0))
+            .cast("long").alias(f"n_{name}")
+        )
+    cols.append(F.md5(stages[-1]).alias("redacted_md5"))
+    return df.select(*cols)
+
+
+def hash_sample(df: DataFrame, rate_x1000: int | dict[str, int],
+                key_col: str = "doc_id", group_col: str = "lang",
+                denom: int = 1000) -> DataFrame:
+    """Deterministic hash-based (stratified) sampling: keep a row when
+    md5(key) mod denom < rate. With a dict, the rate is per group_col
+    value (unlisted groups drop) — the per-language quota downsampling a
+    training-data mix runs. Unlike rand()-based sampling this is stable
+    across runs, partitionings and engines (the DuckDB oracle reproduces
+    the exact row set), and it is a map-only predicate — no shuffle, no
+    state, works identically on 10^10 rows."""
+    bucket = md5_slice(F.col(key_col).cast("string"), 8) % denom
+    if isinstance(rate_x1000, dict):
+        rate = None
+        for g, r in sorted(rate_x1000.items()):
+            branch = F.when(F.col(group_col) == g, F.lit(r))
+            rate = branch if rate is None else rate.when(
+                F.col(group_col) == g, F.lit(r)
+            )
+        rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
+    else:
+        rate = F.lit(int(rate_x1000))
+    return df.filter(bucket < rate)
+
+
 def quality_keep_col(text_col: Column,
                      min_words: int = 5, max_words: int = 100000,
                      mean_len_x100: tuple[int, int] = (150, 1200),

@@ -686,6 +686,69 @@ WHERE rank <= 3
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (CCNet/Dolma-style regex passes): the corpus has no PII,
+    so each document is deterministically AUGMENTED with a synthetic
+    email + phone derived from its id, then operators/corpus.pii_stats
+    counts matches per class and digests the redacted text — the oracle
+    rebuilds the identical augmented string, so counts and digest are
+    exact. Map-only regexp chain, Java-regex/RE2 common core.
+    Engine op: operators/corpus.redact_pii / pii_stats."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com now +15550"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return corpus.pii_stats(docs)
+
+
+SQL_PII_REDACT = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com now +15550'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+  FROM documents
+), s1 AS (
+  SELECT *, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM aug
+), s2 AS (
+  SELECT *, regexp_replace(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g') AS t2 FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(t2, '\\+?\\d[\\d\\s().-]{7,}\\d', '[PHONE]', 'g') AS t3 FROM s2
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', 0)) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, '\\+?\\d[\\d\\s().-]{7,}\\d', 0)) AS BIGINT) AS n_phone,
+  md5(t3) AS redacted_md5
+FROM s3
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sampling (training-mix
+    downsampling): keep md5(doc_id) mod 1000 < rate[lang]. Stable across
+    runs/partitionings/engines (the oracle reproduces the exact row
+    set); map-only predicate, no shuffle at any scale.
+    Engine op: operators/corpus.hash_sample."""
+    rates = {"en": 500, "de": 1000, "fr": 250, "es": 100, "zh": 0}
+    return corpus.hash_sample(
+        _t(spark, sf_dir, "documents"), rates
+    ).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000 WHEN 'fr' THEN 250
+                  WHEN 'es' THEN 100 ELSE 0 END
+"""
+
+
 def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column: queries are
     vec_id < 3, k=5. All arithmetic in exact scaled integers (components
@@ -1610,6 +1673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_crossdoc": q_dedup_ngram_crossdoc,
     "gopher_quality": q_gopher_quality,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pii_redact": q_pii_redact,
+    "sample_stratified": q_sample_stratified,
     "token_count_bpe": q_token_count_bpe,
     "knn_brute_cosine": q_knn_brute_cosine,
 }
@@ -1637,6 +1702,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_crossdoc": SQL_DEDUP_NGRAM_CROSSDOC,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "pii_redact": SQL_PII_REDACT,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "knn_brute_cosine": SQL_KNN_BRUTE_COSINE,
 }

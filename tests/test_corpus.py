@@ -726,3 +726,45 @@ def test_dedup_pages_incremental_empty_delta_and_guards(spark, tmpdir_):
     assert rep["n_losers"] == 0
     with pytest.raises(ValueError, match="incremental"):
         dedup_pages(pipe, "minhash", since_version=head)
+
+
+# ---------------------------------------------------------------------------
+# round 4: PII redaction + deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_classes_and_order(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=(
+        "mail bob.smith+x@corp.example.org or call +1 (555) 010-9999 "
+        "from 192.168.0.1 ok"))])
+    out = df.select(corpus.redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert "[EMAIL]" in out and "[PHONE]" in out and "[IPV4]" in out
+    assert "bob" not in out and "555" not in out and "192.168" not in out
+    st = corpus.pii_stats(df).collect()[0]
+    assert (st["n_email"], st["n_phone"], st["n_ipv4"]) == (1, 1, 1)
+
+
+def test_redact_pii_email_digits_not_phone(spark):
+    # digits inside an email local part must not half-match as a phone
+    df = spark.createDataFrame([Row(doc_id=1, text="user4212345678@example.com")])
+    st = corpus.pii_stats(df).collect()[0]
+    assert st["n_email"] == 1 and st["n_phone"] == 0
+    out = df.select(corpus.redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == "[EMAIL]"
+
+
+def test_hash_sample_deterministic_and_quota(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(2000)])
+    a = {r.doc_id for r in corpus.hash_sample(df, 300).collect()}
+    b = {r.doc_id for r in corpus.hash_sample(df, 300).collect()}
+    assert a == b and 0 < len(a) < 2000
+    # rate ~30%: binomial(2000, .3) stays well inside +-5 sigma
+    assert 480 <= len(a) <= 720
+    # nested rates: rate-0 group drops entirely; rate-1000 keeps all
+    strat = corpus.hash_sample(df, {"en": 1000, "de": 0}).collect()
+    assert {r.lang for r in strat} == {"en"} and len(strat) == 1000
+    # python oracle for the exact predicate
+    import hashlib
+    exp = {i for i in a
+           if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < 300}
+    assert exp == a
