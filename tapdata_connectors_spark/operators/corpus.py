@@ -644,6 +644,75 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_col(text_col: Column, bits: int = 60) -> Column:
+    """corpus.simhash as a single Column expression — the ingest-time
+    enrichment form (CdcPipeline(enrich=["simhash"])): the fingerprint
+    is computed inside the ingest projection and STORED, which is what
+    makes incremental near-dup curation O(delta + column-pruned probe)
+    instead of a full-corpus refingerprint per pass.
+
+    Identical values to the DataFrame op (parity is pytest-asserted).
+    Structure keeps every sub-expression single-pass: tokens hash ONCE
+    in a transform, then one aggregate folds per-bit +1/-1 weights using
+    a literal power-of-two mask array (h & (1<<b) — no shift-by-column,
+    which Spark's higher-order lambdas cannot express), then one fold
+    sums the positive-weight powers. Empty docs yield null (the
+    DataFrame op drops them)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] for exact cross-engine bigints")
+    hexchars = (bits + 3) // 4
+    tk = tokens(text_col)
+    zero = F.lit(0).cast("long")
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    hs = F.transform(
+        tk, lambda t: F.conv(F.substring(F.md5(t), 1, hexchars), 16, 10).cast("long")
+    )
+    # w[b] = (#tokens with bit b) - (#tokens without): the simhash
+    # +1/-1 weight sum — sign-only, so the token count never appears
+    w = F.aggregate(
+        hs,
+        F.array_repeat(zero, bits),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != zero,
+                                    F.lit(1).cast("long"))
+            .otherwise(F.lit(-1).cast("long")),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(w, powers, lambda wv, p: F.when(wv > zero, p).otherwise(zero)),
+        zero,
+        lambda a, v: a + v,
+    )
+    return F.when(F.size(tk) > 0, fp).otherwise(F.lit(None).cast("bigint"))
+
+
+def simhash_band_rows(fp_df: DataFrame, id_col: str = "doc_id",
+                      fp_col: str = "simhash", bits: int = 60,
+                      n_bands: int = 4) -> DataFrame:
+    """(id, band, bv): the n_bands disjoint bit-slices of each
+    fingerprint — the skinny frame every banded-Hamming join buckets on.
+    Map-side explode of a literal-band array; null fingerprints (empty
+    docs) are dropped."""
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands slices")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(t).alias("band"),
+            F.expr(f"shiftright({fp_col}, {t * band_bits}) & {mask}").alias("bv"),
+        )
+        for t in range(n_bands)
+    ])
+    return (
+        fp_df.filter(F.col(fp_col).isNotNull())
+        .withColumn("bb", F.explode(bands))
+        .select(F.col(id_col), F.col("bb.band").alias("band"),
+                F.col("bb.bv").alias("bv"))
+    )
+
+
 def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", bits: int = 60,
                      n_bands: int = 4, max_hamming: int = 3,
@@ -679,24 +748,12 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
         )
     if bits % n_bands:
         raise ValueError("bits must divide evenly into n_bands slices")
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
     sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if cache_registry is not None:
         cache_registry.append(sh)
-    bands = F.array(*[
-        F.struct(
-            F.lit(t).alias("band"),
-            F.expr(f"shiftright(simhash, {t * band_bits}) & {mask}").alias("bv"),
-        )
-        for t in range(n_bands)
-    ])
-    e = sh.withColumn("bb", F.explode(bands)).select(
-        F.col("doc_id"),
-        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
-    )
+    e = simhash_band_rows(sh, bits=bits, n_bands=n_bands)
     pairs = (
         e.select(F.col("doc_id").alias("doc_a"), "band", "bv")
         .join(e.select(F.col("doc_id").alias("doc_b"), "band", "bv"),

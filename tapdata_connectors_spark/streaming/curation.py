@@ -107,18 +107,20 @@ def find_new_dup_pages(pipe, since_version: int,
     Survivorship prefers the incumbent: winner = (existing before new,
     then min key), so an incremental pass never tombstones an untouched
     page — re-running old curation decisions is the full pass's job."""
-    t = pipe.init_table()
+    return _find_new_losers(pipe, since_version, "exact", cache_registry)
+
+
+def _touched_keys(pipe, t, since_version: int,
+                  cache_registry: list | None) -> "DataFrame | None":
+    """Distinct keys whose state moved after `since_version` (manifest
+    diff + (key, seq) anti-join refinement — see find_new_dup_pages).
+    Returns a persisted frame, or None when the diff is empty."""
     m = t.manifest()
     key = m.key
     old_paths = {f["path"] for f in t.manifest(since_version).files}
     new_files = [f for f in m.files if f["path"] not in old_paths]
-    empty = pipe.spark.createDataFrame(
-        [], f"{key} string, survivor_id string"
-    )
     if not new_files:
-        return empty
-
-    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+        return None
 
     # (key, seq) rows carried by the post-since_version files, per kind:
     # base entries map numeric field ids (_read_base), delta entries use
@@ -159,6 +161,31 @@ def find_new_dup_pages(pipe, since_version: int,
     new_keys = new_keys.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
         cache_registry.append(new_keys)
+    return new_keys
+
+
+def _enrich_col_name(pipe, ename: str) -> str | None:
+    return next(
+        (pipe._current_name_of(fid)
+         for fid, en in pipe._enrich_ids.items() if en == ename),
+        None,
+    )
+
+
+def _find_new_losers(pipe, since_version: int, method: str,
+                     cache_registry: list | None,
+                     bits: int = 60, n_bands: int = 4,
+                     max_hamming: int = 3) -> DataFrame:
+    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+
+    t = pipe.init_table()
+    key = t.manifest().key
+    empty = pipe.spark.createDataFrame(
+        [], f"{key} string, survivor_id string"
+    )
+    new_keys = _touched_keys(pipe, t, since_version, cache_registry)
+    if new_keys is None:
+        return empty
     stats = new_keys.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.length(key)).alias("b")
     ).collect()[0]
@@ -166,35 +193,81 @@ def find_new_dup_pages(pipe, since_version: int,
         return empty
     delta_is_small = (stats["b"] or 0) <= BROADCAST_KEY_BYTES
 
-    fp_name = next(
-        (pipe._current_name_of(fid)
-         for fid, en in pipe._enrich_ids.items() if en == "fingerprint"),
-        None,
-    )
     text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
     live = t.read_raw().filter(~F.col(TOMBSTONE_COL))
-    fp_col = (F.col(fp_name) if fp_name
-              else corpus.fingerprint(F.col(text_name)))
-    d = live.select(F.col(key), fp_col.alias("_fp"))
-
     flag = new_keys.select(F.col(key), F.lit(True).alias("_new"))
     if delta_is_small:
         flag = F.broadcast(flag)
-    d = d.join(flag, key, "left").withColumn(
-        "_new", F.coalesce(F.col("_new"), F.lit(False))
+
+    if method == "exact":
+        fp_name = _enrich_col_name(pipe, "fingerprint")
+        fp_col = (F.col(fp_name) if fp_name
+                  else corpus.fingerprint(F.col(text_name)))
+        d = live.select(F.col(key), fp_col.alias("_fp"))
+        d = d.join(flag, key, "left").withColumn(
+            "_new", F.coalesce(F.col("_new"), F.lit(False))
+        )
+        # only digest groups containing a touched key shuffle
+        touched_fps = d.filter(F.col("_new")).select("_fp").distinct()
+        if delta_is_small:
+            touched_fps = F.broadcast(touched_fps)
+        cand = d.join(touched_fps, "_fp")
+        winners = cand.groupBy("_fp").agg(
+            F.min(F.struct(F.col("_new").cast("int").alias("o"),
+                           F.col(key).alias("k"))).alias("w")
+        )
+        return (
+            cand.join(winners, "_fp")
+            .filter(F.col("_new") & (F.col(key) != F.col("w.k")))
+            .select(F.col(key), F.col("w.k").alias("survivor_id"))
+        )
+
+    # method == "simhash": banded Hamming of touched fingerprints against
+    # the STORED simhash enrichment column (column-pruned scan — the
+    # fingerprint was paid once at ingest; recomputing per pass is the
+    # full pass's job). One-sweep min-neighbor survivorship, incumbents
+    # first: a new page loses to its minimum qualified neighbor
+    # (any incumbent, or a smaller-key new page) within max_hamming.
+    sh_name = _enrich_col_name(pipe, "simhash")
+    if sh_name is None:
+        raise ValueError(
+            "incremental simhash dedup needs the stored fingerprint: "
+            "create the pipeline with enrich=[\"simhash\"]"
+        )
+    fps = live.select(F.col(key), F.col(sh_name).alias("simhash")).join(
+        flag, key, "left"
+    ).withColumn("_new", F.coalesce(F.col("_new"), F.lit(False)))
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(fps)
+    bands_all = corpus.simhash_band_rows(
+        fps, id_col=key, bits=bits, n_bands=n_bands
     )
-    touched_fps = d.filter(F.col("_new")).select("_fp").distinct()
-    if delta_is_small:
-        touched_fps = F.broadcast(touched_fps)
-    cand = d.join(touched_fps, "_fp")
-    winners = cand.groupBy("_fp").agg(
-        F.min(F.struct(F.col("_new").cast("int").alias("o"),
-                       F.col(key).alias("k"))).alias("w")
+    bands_new = corpus.simhash_band_rows(
+        fps.filter(F.col("_new")), id_col=key, bits=bits, n_bands=n_bands
+    )
+    cand = (
+        bands_new.select(F.col(key).alias("_a"), "band", "bv")
+        .join(bands_all.select(F.col(key).alias("_b"), "band", "bv"),
+              ["band", "bv"])
+        .filter(F.col("_a") != F.col("_b"))
+        .select("_a", "_b").distinct()
+    )
+    fa = fps.select(F.col(key).alias("_a"), F.col("simhash").alias("sh_a"))
+    fb = fps.select(F.col(key).alias("_b"), F.col("simhash").alias("sh_b"),
+                    F.col("_new").alias("b_new"))
+    verified = (
+        cand.join(fa, "_a").join(fb, "_b")
+        .filter(F.expr("bit_count(sh_a ^ sh_b)") <= max_hamming)
+        # qualified neighbor: an incumbent, or a smaller-key new page
+        .filter((~F.col("b_new")) | (F.col("_b") < F.col("_a")))
     )
     return (
-        cand.join(winners, "_fp")
-        .filter(F.col("_new") & (F.col(key) != F.col("w.k")))
-        .select(F.col(key), F.col("w.k").alias("survivor_id"))
+        verified.groupBy("_a").agg(
+            F.min(F.struct(F.col("b_new").cast("int").alias("o"),
+                           F.col("_b").alias("k"))).alias("w")
+        )
+        .select(F.col("_a").alias(key), F.col("w.k").alias("survivor_id"))
     )
 
 
@@ -221,10 +294,11 @@ def dedup_pages(pipe, method: str = "exact",
     """
     t0 = time.time()
     t = pipe.init_table()
-    if since_version is not None and method != "exact":
+    if since_version is not None and method not in ("exact", "simhash"):
         raise ValueError(
-            "incremental dedup (since_version) supports method='exact' — "
-            "near-dup methods need the full candidate pass"
+            "incremental dedup (since_version) supports method='exact' "
+            "(stored md5 fingerprint) and 'simhash' (stored simhash "
+            "enrichment) — minhash needs the full candidate pass"
         )
     epoch_key = (f"curation:{method}:since{since_version}:{tag}"
                  if since_version is not None else f"curation:{method}:{tag}")
@@ -233,7 +307,8 @@ def dedup_pages(pipe, method: str = "exact",
 
     caches: list = []
     if since_version is not None:
-        losers = find_new_dup_pages(pipe, since_version, cache_registry=caches)
+        losers = _find_new_losers(pipe, since_version, method,
+                                  cache_registry=caches)
     else:
         losers = find_dup_pages(
             pipe, method, cfg, closure=closure, cache_registry=caches,

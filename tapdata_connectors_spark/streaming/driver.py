@@ -75,11 +75,18 @@ def _enrich_quality_keep(c):
     return corpus.quality_keep_col(c)
 
 
+def _enrich_simhash(c):
+    from tapdata_connectors_spark.operators import corpus
+
+    return corpus.simhash_col(c)
+
+
 # name -> (column builder over the extracted text, stored column type)
 ENRICHMENTS = {
     "fingerprint": (_enrich_fingerprint, "string"),
     "pred_lang": (_enrich_pred_lang, "string"),
     "quality_keep": (_enrich_quality_keep, "boolean"),
+    "simhash": (_enrich_simhash, "bigint"),
 }
 
 

@@ -768,3 +768,62 @@ def test_hash_sample_deterministic_and_quota(spark):
     exp = {i for i in a
            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < 300}
     assert exp == a
+
+
+def test_simhash_col_parity_with_op(spark):
+    df = _docs_df(spark).union(spark.createDataFrame(
+        [Row(doc_id=50, text="one more doc for parity checking purposes")]))
+    via_op = {r.doc_id: r.simhash for r in corpus.simhash(df).collect()}
+    via_col = {r.doc_id: r.sh for r in
+               df.select("doc_id", corpus.simhash_col(F.col("text")).alias("sh")).collect()}
+    assert all(via_col[i] == via_op[i] for i in via_op)
+    # empty doc: op drops the row, col yields null
+    e = spark.createDataFrame([Row(doc_id=9, text="  ")])
+    assert corpus.simhash(e).count() == 0
+    assert e.select(corpus.simhash_col(F.col("text")).alias("sh")).collect()[0]["sh"] is None
+
+
+def test_dedup_pages_incremental_simhash(spark, tmpdir_):
+    from tapdata_connectors_spark.streaming import dedup_pages
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    pages = [
+        ("s/a", _H.format(base)),
+        ("s/p", _H.format("an entirely different legacy body of words")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages, enrich=["simhash"],
+                           merge_mode="mor")
+    v1 = pipe.table.current_version()
+
+    # near-dup of incumbent s/a (one word changed) + one genuinely new page
+    ev = _ins_events(spark, [
+        (10, 0, "s/b", base.replace("lazy", "sleepy")),
+        (11, 0, "s/u", "utterly unrelated fresh content with new words"),
+    ])
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+
+    # fixture sanity: the stored fingerprints really are within Hamming 3
+    sh = {r["url"]: r["simhash"]
+          for r in pipe.table.read().select("url", "simhash").collect()}
+    assert bin(sh["s/a"] ^ sh["s/b"]).count("1") <= 3
+    assert bin(sh["s/a"] ^ sh["s/u"]).count("1") > 3
+
+    rep = dedup_pages(pipe, "simhash", since_version=v1, tag="inc1")
+    assert rep["n_losers"] == 1
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    assert left == {"s/a", "s/p", "s/u"}          # s/b lost to the incumbent
+    assert dedup_pages(pipe, "simhash", since_version=v1,
+                       tag="inc1").get("skipped") is True
+
+
+def test_dedup_pages_incremental_simhash_requires_enrichment(spark, tmpdir_):
+    from tapdata_connectors_spark.streaming import dedup_pages
+
+    pipe = _bootstrap_pipe(spark, tmpdir_, [("s/a", _H.format("hello world wide"))])
+    v = pipe.table.current_version()
+    ev = _ins_events(spark, [(10, 0, "s/b", "hello world wider")])
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+    with pytest.raises(ValueError, match="simhash"):
+        dedup_pages(pipe, "simhash", since_version=v)
