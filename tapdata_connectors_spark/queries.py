@@ -1364,6 +1364,61 @@ WHERE floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 100000
 """
 
 
+def q_dedup_embedding_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components survivorship over the embedding-cosine dup
+    edges (same LSH-bucketed + exact-verify pipeline as
+    dedup_embedding_cosine) — the third edge family through the shared
+    closure operator (corpus.dup_components min-label propagation).
+    Oracle: recursive CTE over the embedding-pairs SQL."""
+    from tapdata_connectors_spark.operators import ann
+
+    pairs = ann.cosine_near_dup(_t(spark, sf_dir, "embeddings"),
+                                threshold_x1e6=300_000, n_planes=4)
+    return corpus.component_losers(pairs, id_col="vec_id",
+                                   a_col="vec_a", b_col="vec_b")
+
+
+SQL_DEDUP_EMBEDDING_CLOSURE = """
+WITH RECURSIVE scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), planes AS (
+  SELECT vec_id, v, unnest(range(0,4)) AS p FROM scaled
+), dots AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(v)+1),
+           i -> v[i] * ((('0x' || substr(md5('pl' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)
+         )) > 0 AS bit
+  FROM planes
+), bkt AS (
+  SELECT vec_id, CAST(sum(CASE WHEN bit THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), normed AS (
+  SELECT b.vec_id, b.bucket, s.v,
+         list_sum(list_transform(s.v, x -> x * x)) AS nrm
+  FROM bkt b JOIN scaled s USING (vec_id)
+), dup AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE floor(CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS BIGINT)
+              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) * 1000000) >= 300000
+), und AS (
+  SELECT vec_a AS src, vec_b AS dst FROM dup
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM dup
+), reach AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS vec_id, MIN(dst) AS survivor_id
+FROM reach
+GROUP BY src
+HAVING MIN(dst) < src
+"""
+
+
 def q_dedup_embedding_cosine_multiprobe(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """Multi-probe (OR-construction) embedding near-dup: 3 independent
@@ -1722,6 +1777,7 @@ QUERIES.update({
     "dedup_embedding_cosine_multiprobe": q_dedup_embedding_cosine_multiprobe,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_closure": q_dedup_simhash_closure,
+    "dedup_embedding_closure": q_dedup_embedding_closure,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
@@ -1744,6 +1800,7 @@ ORACLE_SQL.update({
     "dedup_embedding_cosine_multiprobe": SQL_DEDUP_EMBEDDING_COSINE_MULTIPROBE,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_simhash_closure": SQL_DEDUP_SIMHASH_CLOSURE,
+    "dedup_embedding_closure": SQL_DEDUP_EMBEDDING_CLOSURE,
     "multimodal_image_meta": SQL_MULTIMODAL_IMAGE_META,
     "multimodal_jpeg_meta": SQL_MULTIMODAL_JPEG_META,
     "multimodal_mp4_meta": SQL_MULTIMODAL_MP4_META,
