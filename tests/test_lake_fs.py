@@ -145,3 +145,43 @@ print("DONE " + tag)
     import os
     names = {n for n in os.listdir(f"{path}/_manifests") if n.startswith("v")}
     assert names == {f"v{v}.json" for v in range(21)}
+
+
+def test_vacuum_via_hadoop_fs(spark, tmpdir_):
+    """vacuum drives glob/mtime/delete through the REAL Hadoop FileSystem
+    implementation (file://) — same semantics as the LocalFS test."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, f"file://{tmpdir_}/t",
+        [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+         ("text", "string"), ("lang", "string")],
+        key="url", n_buckets=4,
+    )
+    assert isinstance(t._io, HadoopFS)
+    for i in range(3):
+        src = spark.createDataFrame(
+            [("u1", None, None, f"v{i}", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).withColumn("_event_seq", F.lit(0).cast("long")) \
+         .withColumn("_deleted", F.lit(False)).withColumn("_mb", t.bucket_expr("url"))
+        t.commit_files(t.write_data_files(src, "_mb"),
+                       replaced_buckets=set(range(4)))
+    head = t.current_version()
+    before = {r["url"]: r["text"] for r in t.read().collect()}
+    rep = t.vacuum(retain_last=1, min_age_sec=0)
+    assert rep["deleted_files"] >= 2 and rep["deleted_manifests"] >= 1
+    assert {r["url"]: r["text"] for r in t.read().collect()} == before
+    assert not os.path.exists(f"{tmpdir_}/t/_manifests/v{head - 1}.json")
+    # min-age path exercises HadoopFS.mtime: an uncommitted (in-flight)
+    # write's files are unreferenced but young -> kept, not deleted
+    src = spark.createDataFrame(
+        [("u2", None, None, "pending", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).withColumn("_event_seq", F.lit(0).cast("long")) \
+     .withColumn("_deleted", F.lit(False)).withColumn("_mb", t.bucket_expr("url"))
+    pending = t.write_data_files(src, "_mb")
+    rep2 = t.vacuum(retain_last=1, min_age_sec=3600)
+    assert rep2["deleted_files"] == 0 and rep2["skipped_recent"] >= 1
+    t.commit_files(pending)
+    assert {r["url"] for r in t.read().collect()} == {"u1", "u2"}
