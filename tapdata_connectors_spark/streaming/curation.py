@@ -406,23 +406,39 @@ def find_low_quality_pages(pipe, policy: dict | None = None) -> DataFrame:
 
 
 def prune_pages(pipe, policy: dict | None = None, tag: str = "0",
-                dry_run: bool = False) -> dict:
+                dry_run: bool = False,
+                since_version: int | None = None) -> dict:
     """Quality-filter curation stage: tombstone every live page failing
     the Gopher gate, through the same compaction-style commit as
     dedup_pages — idempotent per tag (epoch_key guard), atomic via the
     manifest CAS, lineage rows under CURATION_EPOCH, and last-writer-wins
     preserved (a genuinely newer source event resurrects a pruned url;
     an old redelivery stays stale). The gate itself is map-only, so the
-    find phase is one scan of the live buckets."""
+    find phase is one scan of the live buckets.
+
+    `since_version` restricts the pass to pages whose state moved after
+    that snapshot (manifest-diff candidates, same machinery as
+    incremental dedup): the gate is deterministic per content and
+    untouched pages kept their previous verdict, so touched-only
+    re-gating is semantically complete under a fixed policy — per-epoch
+    quality curation costs O(delta), not a table scan."""
     t0 = time.time()
     t = pipe.init_table()
-    epoch_key = f"curation:quality:{tag}"
+    epoch_key = (f"curation:quality:since{since_version}:{tag}"
+                 if since_version is not None else f"curation:quality:{tag}")
     if t.epoch_applied(epoch_key):
         return {"skipped": True, "epoch_key": epoch_key}
 
-    losers = find_low_quality_pages(pipe, policy).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    caches: list = []
+    losers = find_low_quality_pages(pipe, policy)
+    if since_version is not None:
+        key = t.manifest().key
+        new_keys = _touched_keys(pipe, t, since_version, caches)
+        if new_keys is None:
+            losers = pipe.spark.createDataFrame([], f"{key} string")
+        else:
+            losers = losers.join(new_keys.select(key), key, "semi")
+    losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _tombstone_losers(
             pipe, t, losers, epoch_key, dry_run, t0,
@@ -430,3 +446,5 @@ def prune_pages(pipe, policy: dict | None = None, tag: str = "0",
         )
     finally:
         losers.unpersist(blocking=True)
+        for c in caches:
+            c.unpersist(blocking=True)

@@ -827,3 +827,32 @@ def test_dedup_pages_incremental_simhash_requires_enrichment(spark, tmpdir_):
     pipe.replay_batch()
     with pytest.raises(ValueError, match="simhash"):
         dedup_pages(pipe, "simhash", since_version=v)
+
+
+def test_prune_pages_incremental(spark, tmpdir_):
+    from tapdata_connectors_spark.streaming import prune_pages
+
+    pages = [
+        ("p/good", _H.format("a perfectly sensible document with many distinct words")),
+        # pre-existing junk: an incremental pass must NOT touch it
+        ("p/oldspam", _H.format("junk junk junk junk junk junk junk junk")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    v1 = pipe.table.current_version()
+    ev = _ins_events(spark, [
+        (10, 0, "p/newspam", "spam spam spam spam spam spam spam spam"),
+        (11, 0, "p/newgood", "another perfectly sensible body with distinct words"),
+    ])
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+
+    rep = prune_pages(pipe, since_version=v1, tag="inc")
+    assert rep["n_losers"] == 1
+    left = {r["url"] for r in pipe.table.read().select("url").collect()}
+    assert left == {"p/good", "p/oldspam", "p/newgood"}
+    assert prune_pages(pipe, since_version=v1, tag="inc").get("skipped") is True
+    # empty delta no-op
+    head = pipe.table.current_version()
+    assert prune_pages(pipe, since_version=head, tag="n2")["n_losers"] == 0
+    from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
+    assert _persistent_rdd_ids(spark.sparkContext) == set()
