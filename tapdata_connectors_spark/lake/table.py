@@ -400,6 +400,91 @@ class LakeTable:
             m.summary = summary
             self._commit(m)
 
+    # ---------------- snapshot lifecycle ----------------
+    def history(self) -> list[dict]:
+        """Commit log over the retained manifests (Delta `DESCRIBE HISTORY`
+        / Iceberg `snapshots` analog; the reference's closest surface is
+        per-sync WriteListResult counters — a shared lake needs the log
+        attached to the TABLE, not the connector run). Oldest first; one
+        bounded metadata read per retained manifest (vacuum caps the
+        count), no data IO, no Spark job."""
+        out = []
+        for v in self._manifest_versions():
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.parent,
+                    "ts_ms": m.summary.get("ts_ms"),
+                    "op": m.summary.get("op"),
+                    "summary": m.summary,
+                    "n_files": len(m.files),
+                    "n_delta_files": sum(
+                        1 for f in m.files if f.get("kind") == "delta"
+                    ),
+                    "n_epochs_applied": len(m.applied_epochs),
+                }
+            )
+        return out
+
+    def rollback_to(self, version: int) -> int:
+        """Restore the table to snapshot `version` by committing a NEW
+        manifest that re-pins that snapshot's schema + file set (Iceberg
+        `rollback_to_snapshot` / Delta `RESTORE` — roll-forward, so the
+        abandoned head stays time-travel-readable until vacuum and
+        concurrent readers never see a version disappear).
+
+        applied_epochs is restored to `version`'s set: epochs applied
+        after it are no longer marked applied, so a replay resumes from
+        the restored state and the exactly-once guard re-admits exactly
+        the rolled-back epochs.
+
+        Guards: the target manifest must still be retained, and every
+        data file it references must still exist (vacuum may have GC'd
+        files only old snapshots referenced) — existence is verified
+        up front (O(files-at-version) metadata probes, no data IO) so a
+        half-broken restore can never commit."""
+        with self._lock:
+            head = self.current_version()
+            if version == head:
+                return head
+            target = self.manifest(version)  # raises if expired/unknown
+            missing = [
+                f["path"]
+                for f in target.files
+                if not self._io.exists(self._io.join(f["path"]))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"rollback_to({version}): {len(missing)} data file(s) "
+                    f"were vacuumed, e.g. {missing[:3]}"
+                )
+            for _ in range(20):
+                head = self.current_version()
+                m = Manifest(
+                    version=head + 1,
+                    fields=target.fields,
+                    key=target.key,
+                    n_buckets=target.n_buckets,
+                    files=target.files,
+                    applied_epochs=dict(target.applied_epochs),
+                    next_field_id=target.next_field_id,
+                    summary={
+                        "op": "rollback",
+                        "restored_version": version,
+                        "ts_ms": int(time.time() * 1000),
+                    },
+                    parent=head,
+                )
+                try:
+                    self._commit(m)
+                    return m.version
+                except CommitConflict:
+                    continue
+            raise CommitConflict(
+                f"rollback_to({version}): 20 consecutive conflicts on {self.path}"
+            )
+
     @staticmethod
     def _guard_engine_column(m: Manifest, name: str, verb: str) -> None:
         """Engine-critical columns can't be renamed or dropped: the merge key
@@ -649,6 +734,132 @@ class LakeTable:
         """User-visible snapshot: tombstones filtered, hidden columns dropped."""
         df = self.read_raw(version)
         return df.filter(~F.col(TOMBSTONE_COL)).drop(*HIDDEN_COLS)
+
+    def changed_buckets(self, since_version: int,
+                        to_version: int | None = None) -> list[int]:
+        """Buckets whose FILE SET differs between two snapshots (manifest
+        diff by path — pure metadata, no data IO). Superset of the buckets
+        with logical changes: compaction/rollback rewrites count too, but
+        read_changes' value diff refines those to zero rows."""
+        m_old = self.manifest(since_version)
+        m_new = self.manifest(to_version)
+        old_paths = {f["path"]: f["bucket"] for f in m_old.files}
+        new_paths = {f["path"]: f["bucket"] for f in m_new.files}
+        touched = {b for p, b in new_paths.items() if p not in old_paths}
+        touched |= {b for p, b in old_paths.items() if p not in new_paths}
+        return sorted(touched)
+
+    def read_changes(
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        preimages: bool = False,
+    ) -> DataFrame:
+        """Changelog between two committed snapshots (Iceberg
+        `create_changelog_view` / Delta Change Data Feed analog): one row
+        per key whose LIVE state differs, in the TO version's schema, with
+        `_change_type` ∈ insert|update|delete (with preimages=True,
+        update splits into update_preimage/update_postimage rows — the
+        Delta CDF shape). Lets a downstream consumer chain incremental
+        work off the lake instead of re-reading the corpus.
+
+        Scale shape: the manifest diff prunes the read to TOUCHED buckets
+        only — both snapshots are read just for those (per-epoch commits
+        touch ≪ all buckets at 10^10 events), then ONE full-outer join on
+        the key classifies rows; AQE handles skewed keys. Schema drift
+        between the versions is aligned by FIELD ID (renames follow,
+        since-added columns read as typed null on the old side,
+        since-dropped columns are excluded — current-schema semantics,
+        like Iceberg's changelog), so DDL between the snapshots never
+        misclassifies an untouched row as updated."""
+        m_new = self.manifest(to_version)
+        buckets = self.changed_buckets(since_version, to_version)
+        payload = [f for f in m_new.fields if f.name != m_new.key]
+        out_cols = [m_new.key] + [f.name for f in payload] + ["_change_type"]
+        if not buckets:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(m_new.key, type_of(
+                        next(f.type for f in m_new.fields if f.name == m_new.key)))]
+                    + [T.StructField(f.name, type_of(f.type)) for f in payload]
+                    + [T.StructField("_change_type", T.StringType())]
+                ),
+            )
+
+        m_old = self.manifest(since_version)
+        old_by_id = {f.id: f for f in m_old.fields}
+
+        def live(version):
+            df = self.read_raw(version=version, buckets=buckets)
+            return df.filter(~F.col(TOMBSTONE_COL))
+
+        # old snapshot projected into the NEW schema: rename-by-id, widen
+        # casts, since-added fields as typed null
+        old_sel = []
+        for f in m_new.fields:
+            o = old_by_id.get(f.id)
+            if o is not None:
+                old_sel.append(F.col(o.name).cast(type_of(f.type)).alias(f.name))
+            else:
+                old_sel.append(F.lit(None).cast(type_of(f.type)).alias(f.name))
+        old = live(since_version).select(*old_sel)
+        new = live(to_version).select(
+            m_new.key, *[F.col(f.name).cast(type_of(f.type)) for f in payload]
+        )
+
+        o = old.select(
+            F.col(m_new.key).alias("__k"),
+            *[F.col(f.name).alias(f"__o_{f.name}") for f in payload],
+            F.lit(True).alias("__in_old"),
+        )
+        n = new.select(
+            F.col(m_new.key).alias("__k"),
+            *[F.col(f.name).alias(f"__n_{f.name}") for f in payload],
+            F.lit(True).alias("__in_new"),
+        )
+        j = o.join(n, "__k", "full_outer")
+
+        same = F.lit(True)
+        for f in payload:
+            same = same & F.col(f"__o_{f.name}").eqNullSafe(F.col(f"__n_{f.name}"))
+        ctype = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(same, F.lit(None))  # COW rewrite / delta no-op: unchanged
+            .otherwise(F.lit("update"))
+        )
+        j = j.withColumn("_change_type", ctype).filter(F.col("_change_type").isNotNull())
+
+        def img(side: str, label: F.Column) -> DataFrame:
+            return j.select(
+                F.col("__k").alias(m_new.key),
+                *[F.col(f"__{side}_{f.name}").alias(f.name) for f in payload],
+                label.alias("_change_type"),
+            )
+
+        if not preimages:
+            # delete rows carry the preimage values; insert/update the postimage
+            sel = [F.col("__k").alias(m_new.key)]
+            for f in payload:
+                sel.append(
+                    F.when(
+                        F.col("_change_type") == "delete", F.col(f"__o_{f.name}")
+                    ).otherwise(F.col(f"__n_{f.name}")).alias(f.name)
+                )
+            sel.append(F.col("_change_type"))
+            return j.select(*sel).select(*out_cols)
+
+        upd = F.col("_change_type") == "update"
+        post = img(
+            "n",
+            F.when(upd, F.lit("update_postimage")).otherwise(F.col("_change_type")),
+        ).filter(F.col("_change_type") != "delete")
+        pre = img(
+            "o",
+            F.when(upd, F.lit("update_preimage")).otherwise(F.col("_change_type")),
+        ).filter(F.col("_change_type").isin("update_preimage", "delete"))
+        return post.unionByName(pre).select(*out_cols)
 
     def _raw_schema(self, m: Manifest) -> T.StructType:
         flds = [T.StructField(f.name, type_of(f.type), True) for f in m.fields]

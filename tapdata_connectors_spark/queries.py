@@ -1701,6 +1701,80 @@ FROM orders
 """
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between two replica snapshots — the change-data-feed read
+    (Iceberg create_changelog_view / Delta CDF analog; the reference's
+    closest surface is re-emitting batchRead deltas downstream). The
+    lake-backed implementation is LakeTable.read_changes (manifest-diff
+    bucket pruning + field-id schema alignment; tests/test_snapshots.py
+    gates it against the Python replay oracle); this expresses the same
+    classification over the events table for the SQL oracle gate:
+    replica state at ts<2024-01-16 vs final state, full-outer join on the
+    key, insert/update/delete per key (delete rows carry the preimage)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def state(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "event_id", "event_type", "value")
+        )
+
+    old = state(ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+    new = state(ev)
+    o = old.select(
+        F.col("user_id").alias("__k"),
+        *[F.col(c).alias(f"__o_{c}") for c in ("event_id", "event_type", "value")],
+    )
+    n = new.select(
+        F.col("user_id").alias("__k"),
+        *[F.col(c).alias(f"__n_{c}") for c in ("event_id", "event_type", "value")],
+    )
+    j = o.join(n, "__k", "full_outer")
+    ctype = (
+        F.when(F.col("__o_event_id").isNull(), F.lit("insert"))
+        .when(F.col("__n_event_id").isNull(), F.lit("delete"))
+        .when(F.col("__o_event_id") == F.col("__n_event_id"), F.lit(None))
+        .otherwise(F.lit("update"))
+    )
+    j = j.withColumn("change_type", ctype).filter(F.col("change_type").isNotNull())
+    pick = lambda c: F.when(  # noqa: E731 — delete rows carry the preimage
+        F.col("change_type") == "delete", F.col(f"__o_{c}")
+    ).otherwise(F.col(f"__n_{c}"))
+    return j.select(
+        F.col("__k").alias("user_id"),
+        pick("event_id").alias("last_event_id"),
+        pick("event_type").alias("last_op"),
+        pick("value").alias("last_value"),
+        "change_type",
+    )
+
+
+SQL_CDC_CHANGELOG = """
+WITH old_state AS (
+  SELECT user_id, event_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+  ) WHERE rn = 1 AND event_type <> 'error'
+), new_state AS (
+  SELECT user_id, event_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NULL THEN o.event_id ELSE n.event_id END AS last_event_id,
+       CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NULL THEN o.event_type ELSE n.event_type END AS last_op,
+       CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NULL THEN o.value ELSE n.value END AS last_value,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type
+FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id <> n.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1712,6 +1786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_epoch_batching": q_cdc_epoch_batching,
     "cdc_exactly_once_counts": q_cdc_exactly_once_counts,
     "cdc_delete_enrichment": q_delete_enrichment,
+    "cdc_changelog": q_cdc_changelog,
     "snapshot_split_stats": q_snapshot_split_stats,
     "snapshot_hash_split": q_snapshot_hash_split,
     "snapshot_pk_ranges": q_snapshot_pk_ranges,
@@ -1741,6 +1816,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_epoch_batching": SQL_CDC_EPOCH_BATCHING,
     "cdc_exactly_once_counts": SQL_CDC_EXACTLY_ONCE_COUNTS,
     "cdc_delete_enrichment": SQL_DELETE_ENRICHMENT,
+    "cdc_changelog": SQL_CDC_CHANGELOG,
     "snapshot_split_stats": SQL_SNAPSHOT_SPLIT_STATS,
     "snapshot_hash_split": SQL_SNAPSHOT_HASH_SPLIT,
     "snapshot_pk_ranges": SQL_SNAPSHOT_PK_RANGES,
