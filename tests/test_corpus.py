@@ -622,12 +622,17 @@ def test_prune_pages_policy_override_and_resurrection(spark, tmpdir_):
 def test_prune_pages_leaves_no_cached_rdds(spark, tmpdir_):
     from tapdata_connectors_spark.streaming import prune_pages
 
+    from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
+
     pages = [("q/spam", _H.format("spam spam spam spam spam spam")),
              ("q/ok", _H.format("a document with several distinct words inside"))]
     pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    # session-scoped SparkSession: earlier tests' cache residue (pending
+    # ContextCleaner GC) is not this operator's to answer for — assert
+    # prune_pages itself pins nothing NEW
+    before = _persistent_rdd_ids(spark.sparkContext)
     prune_pages(pipe, tag="t1")
-    from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
-    assert _persistent_rdd_ids(spark.sparkContext) == set()
+    assert _persistent_rdd_ids(spark.sparkContext) <= before
 
 
 def test_quality_keep_col_parity_with_gopher_quality(spark):
@@ -846,6 +851,8 @@ def test_prune_pages_incremental(spark, tmpdir_):
     stage_events(ev, f"{tmpdir_}/staging")
     pipe.replay_batch()
 
+    from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
+    before = _persistent_rdd_ids(spark.sparkContext)
     rep = prune_pages(pipe, since_version=v1, tag="inc")
     assert rep["n_losers"] == 1
     left = {r["url"] for r in pipe.table.read().select("url").collect()}
@@ -854,5 +861,5 @@ def test_prune_pages_incremental(spark, tmpdir_):
     # empty delta no-op
     head = pipe.table.current_version()
     assert prune_pages(pipe, since_version=head, tag="n2")["n_losers"] == 0
-    from tapdata_connectors_spark.operators.corpus import _persistent_rdd_ids
-    assert _persistent_rdd_ids(spark.sparkContext) == set()
+    # see test_prune_pages_leaves_no_cached_rdds: assert nothing NEW pinned
+    assert _persistent_rdd_ids(spark.sparkContext) <= before
