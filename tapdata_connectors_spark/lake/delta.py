@@ -112,22 +112,13 @@ def append_delta(
         delta = delta.withColumn(
             out, F.when(F.col(f"__set_{src}"), fn(F.col(src)))
         ).withColumn(f"__set_{out}", F.col(f"__set_{src}"))
+    # write_data_files attaches per-file `rows` + column bounds from the
+    # parquet footers (lake/stats.py) — rows feed per-partition lineage,
+    # bounds feed read-side file skipping. Local-FS metadata reads only;
+    # on remote lakes lineage reports global counts from observe() instead.
     entries = table.write_data_files(
         delta, "_mb", kind="delta", columns=cols_map, types=types_map
     )
-    # per-file row counts from parquet footers: driver-side metadata reads
-    # (pyarrow), no Spark job — feeds per-partition lineage. Local-FS
-    # optimization only: on remote lakes (hdfs://, s3a://) the footers are
-    # skipped and lineage reports global counts from observe() instead.
-    try:
-        import pyarrow.parquet as _pq
-
-        for e in entries:
-            lp = table._io.local_path(table._io.join(e["path"]))
-            if lp is not None:
-                e["rows"] = _pq.read_metadata(lp).num_rows
-    except Exception:
-        pass
     version = table.commit_files(
         entries,
         replaced_buckets=None,

@@ -1,0 +1,133 @@
+"""Per-file column bounds in the manifest + metadata-only scan pruning.
+
+Iceberg stores lower/upper bounds per data file (`lowerBounds`/
+`upperBounds` in its manifests) so a scan skips files whose range can't
+match the predicate before any data IO. The reference approximates this
+with per-connector offset bookkeeping (resume tokens, binlog positions);
+a lake shared by many readers needs the bounds attached to the FILES.
+
+Bounds come from parquet FOOTERS (the writer already computed min/max per
+row group — reading them is a metadata-only round-trip, no data scan).
+Collection runs at commit time over just-committed files (bounded by
+~n_buckets files per commit). Like lake/delta.py's row-count footers this
+is wired for local filesystems; on a remote lake (hdfs://, s3a://) the
+footer fetch would run executor-side over the path list — entries simply
+omit `stats` here and pruning degrades to reading the file (always safe).
+
+Encoding: JSON-manifest-safe scalars — ints/floats/strs as-is, timestamps
+as epoch MICROseconds, strings truncated to 64 chars the Iceberg way
+(lower bound truncates, upper bound truncates-and-increments so the
+bound stays an upper bound).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+TRUNC = 64
+
+
+def _enc(v, upper: bool):
+    """Manifest-safe bound encoding; None = unknown (never prune)."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None  # binary bounds are not comparable cross-engine; skip
+    if isinstance(v, str):
+        if len(v) <= TRUNC:
+            return v
+        t = v[:TRUNC]
+        if not upper:
+            return t
+        # increment the last incrementable char so the truncation is
+        # still an UPPER bound (Iceberg UnicodeUtil.truncateStringMax)
+        for i in range(len(t) - 1, -1, -1):
+            c = ord(t[i])
+            if c < 0x10FFFF:
+                return t[:i] + chr(c + 1)
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    return None
+
+
+def file_column_bounds(local_path: str) -> tuple[dict, int]:
+    """({phys_col: [min, max]}, n_rows) from one parquet footer. A column
+    appears only if EVERY row group has exact min/max for it."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(local_path)
+    bounds: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: no top-level pruning semantics
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                bounds.pop(name, None)
+                continue
+            lo, hi = _enc(st.min, False), _enc(st.max, True)
+            if lo is None or hi is None:
+                dropped.add(name)
+                bounds.pop(name, None)
+                continue
+            if name in bounds:
+                bounds[name][0] = min(bounds[name][0], lo)
+                bounds[name][1] = max(bounds[name][1], hi)
+            else:
+                bounds[name] = [lo, hi]
+    return bounds, md.num_rows
+
+
+def attach_stats(io, entries: list[dict]) -> None:
+    """Mutate manifest entries in place with `stats` + `rows` from their
+    footers. Local-FS only; silently a no-op elsewhere (pruning then
+    keeps those files — safe)."""
+    try:
+        for e in entries:
+            lp = io.local_path(io.join(e["path"]))
+            if lp is None:
+                continue
+            bounds, rows = file_column_bounds(lp)
+            if bounds:
+                e["stats"] = bounds
+            e["rows"] = rows
+    except Exception:
+        pass  # stats are an optimization; commits never fail on them
+
+
+def _cmp_key(v):
+    if isinstance(v, datetime.datetime):
+        return _enc(v, False)
+    return v
+
+
+def range_may_match(entry: dict, phys_col: str | None, lo, hi) -> bool:
+    """False ONLY when the file's recorded bounds prove no row can satisfy
+    lo <= col <= hi. Missing stats / unknown column / unencodable
+    predicate values all mean True (read the file)."""
+    if phys_col is None:
+        return True
+    b = entry.get("stats", {}).get(phys_col)
+    if not b:
+        return True
+    lo, hi = _cmp_key(lo), _cmp_key(hi)
+    fmin, fmax = b
+    try:
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    except TypeError:
+        return True  # incomparable predicate/bound types: never prune
+    return True

@@ -1775,6 +1775,31 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id <> n.event_id
 """
 
 
+def q_cdc_replica_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica rows whose CURRENT version falls in a timestamp window —
+    the LakeTable.read_range probe ("keys that changed in this window"),
+    with the resolve-THEN-filter ordering that matters: a key updated
+    after the window is excluded even though an older version lies inside
+    it. The lake path answers this metadata-first (manifest bounds skip
+    whole commits' files, bucket-granular under MOR — lake/stats.py,
+    table.py prune_entries; equality-gated in tests/test_stats_pruning.py);
+    this expresses the identical semantics over `events` for the SQL
+    oracle gate. Reference analog: batchRead with a time-range filter
+    (CommonDbConnector buildRowLimit/queryByAdvanceFilter)."""
+    lo, hi = "2024-01-10", "2024-01-20"
+    return q_cdc_apply_upsert(spark, sf_dir).filter(
+        (F.col("last_ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("last_ts") < F.lit(hi).cast("timestamp"))
+    )
+
+
+SQL_CDC_REPLICA_TS_RANGE = SQL_CDC_APPLY_UPSERT.replace(
+    "WHERE rn = 1 AND event_type <> 'error'",
+    "WHERE rn = 1 AND event_type <> 'error' "
+    "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'",
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1787,6 +1812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_exactly_once_counts": q_cdc_exactly_once_counts,
     "cdc_delete_enrichment": q_delete_enrichment,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_replica_ts_range": q_cdc_replica_ts_range,
     "snapshot_split_stats": q_snapshot_split_stats,
     "snapshot_hash_split": q_snapshot_hash_split,
     "snapshot_pk_ranges": q_snapshot_pk_ranges,
@@ -1817,6 +1843,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_exactly_once_counts": SQL_CDC_EXACTLY_ONCE_COUNTS,
     "cdc_delete_enrichment": SQL_DELETE_ENRICHMENT,
     "cdc_changelog": SQL_CDC_CHANGELOG,
+    "cdc_replica_ts_range": SQL_CDC_REPLICA_TS_RANGE,
     "snapshot_split_stats": SQL_SNAPSHOT_SPLIT_STATS,
     "snapshot_hash_split": SQL_SNAPSHOT_HASH_SPLIT,
     "snapshot_pk_ranges": SQL_SNAPSHOT_PK_RANGES,
