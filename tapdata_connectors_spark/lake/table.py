@@ -543,35 +543,50 @@ class LakeTable:
         dropped iff EVERY one of them has bounds proving no row matches
         every `logical_col -> (lo, hi)` predicate (None = unbounded side).
 
-        Bucket (not file) granularity is what makes this sound under MOR:
-        rows are superseded ACROSS files of one bucket (base + deltas), so
-        dropping only the non-matching files could resurrect a stale
-        version whose newer update/delete lived in a pruned delta. If any
-        file in a delta-bearing bucket may match, full history is kept for
-        merge resolution; if none can, no CURRENT row matches either (the
-        current version of every row is recorded in some file of the
-        bucket). Buckets with only base files are read as a plain union
-        (read_raw does no per-key resolution there), so pruning commutes
-        with union+filter and runs per-file. Files/columns without stats
-        always survive — and, in MOR buckets, keep their whole bucket —
-        so degradation is safe."""
+        Granularity is what makes this sound under MOR, where rows are
+        superseded ACROSS files of one bucket (base + deltas) and
+        resolution is column-level partial-update (operators/mor.py): a
+        matching row's unset columns come from OLDER files and its
+        supersession evidence from NEWER ones, so for a NON-KEY predicate
+        no individual file of a delta-bearing bucket can be dropped
+        unless ALL can (then no current row matches either — every row's
+        current version is recorded in some file of the bucket).
+        Predicates on the MERGE KEY are the exception and the fast path:
+        resolution is per-key, so a file whose key bounds exclude the
+        probed key range contributes nothing to any matching key's
+        resolution and is dropped per-file even in MOR buckets (this is
+        what makes `lookup` open ~1 file, not 1 bucket). Buckets with
+        only base files are read as a plain union (no per-key resolution)
+        — there pruning commutes with union+filter and runs per-file on
+        every predicate; compaction therefore restores full file-level
+        skipping for ts/seq range probes (the read-optimized view).
+        Files/columns without stats always survive — and, for non-key
+        predicates in MOR buckets, keep their whole bucket — so
+        degradation is safe."""
         from tapdata_connectors_spark.lake.stats import range_may_match
 
-        def excludable(e: dict) -> bool:
+        key_prune = {c: b for c, b in prune.items() if c == m.key}
+        rest_prune = {c: b for c, b in prune.items() if c != m.key}
+
+        def excl(e: dict, preds: dict) -> bool:
             return any(
                 not range_may_match(e, self._phys_name(m, e, col), lo, hi)
-                for col, (lo, hi) in prune.items()
+                for col, (lo, hi) in preds.items()
             )
 
+        if key_prune:  # per-file sound everywhere (per-key resolution)
+            files = [e for e in files if not excl(e, key_prune)]
+        if not rest_prune:
+            return files
         mor_buckets = {e["bucket"] for e in files if e.get("kind") == "delta"}
         live_buckets = {
             e["bucket"] for e in files
-            if e["bucket"] in mor_buckets and not excludable(e)
+            if e["bucket"] in mor_buckets and not excl(e, rest_prune)
         }
         return [
             e for e in files
             if (e["bucket"] in live_buckets if e["bucket"] in mor_buckets
-                else not excludable(e))
+                else not excl(e, rest_prune))
         ]
 
     def read_raw(

@@ -1800,6 +1800,148 @@ SQL_CDC_REPLICA_TS_RANGE = SQL_CDC_APPLY_UPSERT.replace(
 )
 
 
+def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic messy URL per doc (the corpus has no URL
+    column — same augmentation pattern as pii_redact): four variants cycle
+    by doc_id, all canonicalizing to https://example{k}.com/P/{m}, with
+    small moduli so canonical collisions are real at every sf."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("example"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".com"))
+    path = F.concat(F.lit("/P/"), (F.col("doc_id") % 17).cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(host), path))
+        .when(v == 2, F.concat(F.lit("https://"), host, path,
+                               F.lit("?utm_source=x&gclid="),
+                               F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit(":443"), path,
+                            F.lit("/#sec")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization (fragment/tracking-param
+    strip, scheme+host lowercase, www./default-port/trailing-slash removal)
+    — the crawl-pipeline stage before content dedup. Engine op:
+    operators/web.canonical_url + url_dedup (one hash-partitioned agg with
+    map-side combine). The oracle replays the identical RE2-portable
+    regexp chain."""
+    from tapdata_connectors_spark.operators import web
+
+    return web.url_dedup(_synthetic_urls(spark, sf_dir))
+
+
+SQL_URL_CANONICAL_DEDUP = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/P/' || CAST(doc_id % 17 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://WWW.' || upper('example' || CAST(doc_id % 13 AS VARCHAR) || '.com') || '/P/' || CAST(doc_id % 17 AS VARCHAR)
+      WHEN 2 THEN 'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/P/' || CAST(doc_id % 17 AS VARCHAR) || '?utm_source=x&gclid=' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com:443/P/' || CAST(doc_id % 17 AS VARCHAR) || '/#sec'
+    END AS u0
+  FROM documents
+), c1 AS (
+  SELECT doc_id, regexp_replace(trim(u0), '#.*$', '') AS u FROM raw
+), c2 AS (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = ''
+         THEN u
+         ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+              || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+    END AS u
+  FROM c1
+), c3 AS (
+  SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c2
+), c4 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(u, '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+                   '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS u
+  FROM c3
+), c5 AS (
+  SELECT doc_id,
+    regexp_replace(u, '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*', '\1', 'g') AS u
+  FROM c4
+), c6 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(u, '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS u
+  FROM c5
+), canon AS (
+  SELECT doc_id, regexp_replace(u, '/+$', '') AS canonical_url FROM c6
+)
+SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM canon GROUP BY canonical_url
+"""
+
+
+def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota: at most 5 docs per `source`, chosen by
+    deterministic md5 order (no RNG — cross-engine reproducible). The
+    per-domain cap every crawl pipeline applies so megahosts don't
+    dominate the training mix. Engine op: operators/web.host_cap_sample
+    (early-projected window over a hash-partitioned host key)."""
+    from tapdata_connectors_spark.operators import web
+
+    return web.host_cap_sample(_t(spark, sf_dir, "documents"), cap=5)
+
+
+SQL_HOST_CAP_SAMPLE = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Lee et al. 2022): docs sharing any
+    distinct word 5-gram with the synthetic eval set (docs with
+    doc_id % 97 = 0) are flagged. Engine op: operators/web.contamination —
+    tiny eval-gram inventory broadcast against the corpus's distinct-gram
+    frame; grams travel as 60-bit md5 slices, never strings."""
+    from tapdata_connectors_spark.operators import web
+
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    cand = d.filter(F.col("doc_id") % 97 != 0)
+    return web.contamination(cand, eval_docs, n=5)
+
+
+SQL_CONTAMINATION_CHECK = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+  FROM (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+4), ' ')) ELSE [] END)) AS gram
+        FROM tok)
+), eg AS (
+  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+), cand AS (
+  SELECT * FROM g WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM cand JOIN eg USING (gh) GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1813,6 +1955,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_delete_enrichment": q_delete_enrichment,
     "cdc_changelog": q_cdc_changelog,
     "cdc_replica_ts_range": q_cdc_replica_ts_range,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "host_cap_sample": q_host_cap_sample,
+    "contamination_check": q_contamination_check,
     "snapshot_split_stats": q_snapshot_split_stats,
     "snapshot_hash_split": q_snapshot_hash_split,
     "snapshot_pk_ranges": q_snapshot_pk_ranges,
@@ -1844,6 +1989,9 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_delete_enrichment": SQL_DELETE_ENRICHMENT,
     "cdc_changelog": SQL_CDC_CHANGELOG,
     "cdc_replica_ts_range": SQL_CDC_REPLICA_TS_RANGE,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "host_cap_sample": SQL_HOST_CAP_SAMPLE,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
     "snapshot_split_stats": SQL_SNAPSHOT_SPLIT_STATS,
     "snapshot_hash_split": SQL_SNAPSHOT_HASH_SPLIT,
     "snapshot_pk_ranges": SQL_SNAPSHOT_PK_RANGES,

@@ -147,6 +147,48 @@ def test_lookup_matches_full_filter(spark, tmpdir_):
     assert t.lookup("never-seen-url").count() == 0
 
 
+def test_mor_key_prune_is_per_file_and_lookup_correct(spark, tmpdir_):
+    """Merge-key predicates prune PER-FILE even inside MOR buckets
+    (resolution is per-key: files provably not containing the key add
+    nothing to its resolution), unlike non-key predicates which stay
+    bucket-granular. Both the skip and full-fidelity resolution are
+    asserted."""
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=1, merge_mode="mor", compact_every=99)
+    ev = generate_events(spark, GeneratorConfig(
+        n_events=800, n_urls=400, epoch_size=100, p_update=0.5))
+    # segregate each epoch's keys into a disjoint string range so the
+    # per-file key bounds are discriminating (keys stay self-consistent:
+    # url column and both images get the same prefix)
+    pfx = F.concat(F.lit("e"), F.col("epoch").cast("string"), F.lit("-"))
+    ev = (
+        ev.withColumn("url", F.when(F.col("url").isNotNull(),
+                                    F.concat(pfx, F.col("url"))))
+        .withColumn("after", F.col("after").withField(
+            "url", F.concat(pfx, F.col("after.url"))))
+        .withColumn("before", F.col("before").withField(
+            "url", F.concat(pfx, F.col("before.url"))))
+    )
+    for e in range(8):
+        pipe.apply_epoch(ev.filter(F.col("epoch") == e), e)
+    t = pipe.table
+    m = t.manifest()
+    assert any(e.get("kind") == "delta" for e in m.files)
+    urls = sorted(r["url"] for r in t.read().filter(
+        F.col("url").startswith("e3-")).select("url").collect())
+    probe = urls[len(urls) // 2]
+    kept = t.prune_entries(m, m.files, {m.key: (probe, probe)})
+    # per-file even though every file sits in the one delta-bearing
+    # bucket: only the files whose key range covers e3- survive, while a
+    # non-key predicate keeps the whole bucket (bucket granularity)
+    assert 0 < len(kept) < len(m.files)
+    far = datetime.datetime(2099, 1, 1)
+    assert len(t.prune_entries(
+        m, m.files, {"warc_ts": (None, far)})) == len(m.files)
+    want = [tuple(r) for r in t.read().filter(F.col("url") == probe).collect()]
+    assert [tuple(r) for r in t.lookup(probe).collect()] == want and want
+
+
 def test_compaction_clusters_by_key(spark, tmpdir_):
     """Compaction rewrites buckets key-sorted (write_data_files
     cluster_by): per-row-group key ranges become disjoint so pushed-down
