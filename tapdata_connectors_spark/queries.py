@@ -1800,6 +1800,36 @@ SQL_CDC_REPLICA_TS_RANGE = SQL_CDC_APPLY_UPSERT.replace(
 )
 
 
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the Structured-Streaming
+    windowed-agg shape (F.window is the same expression batch and stream;
+    tests/test_watermark.py drives the identical plan through readStream
+    with a watermark and asserts batch/stream equality + late-row
+    dropping). Reference analog: per-interval sync metrics the engines
+    emit while tailing (heartbeat/metrics aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deterministic messy URL per doc (the corpus has no URL
     column — same augmentation pattern as pii_redact): four variants cycle
@@ -1955,6 +1985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_delete_enrichment": q_delete_enrichment,
     "cdc_changelog": q_cdc_changelog,
     "cdc_replica_ts_range": q_cdc_replica_ts_range,
+    "events_tumbling_window": q_events_tumbling_window,
     "url_canonical_dedup": q_url_canonical_dedup,
     "host_cap_sample": q_host_cap_sample,
     "contamination_check": q_contamination_check,
@@ -1989,6 +2020,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_delete_enrichment": SQL_DELETE_ENRICHMENT,
     "cdc_changelog": SQL_CDC_CHANGELOG,
     "cdc_replica_ts_range": SQL_CDC_REPLICA_TS_RANGE,
+    "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "host_cap_sample": SQL_HOST_CAP_SAMPLE,
     "contamination_check": SQL_CONTAMINATION_CHECK,
