@@ -36,12 +36,14 @@ plan only enumerates the touched subset.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import posixpath
 import threading
 import time
 import uuid
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -163,6 +165,12 @@ class CommitConflict(RuntimeError):
     deployment is misconfigured, not a race to paper over."""
 
 
+# content-addressed bucket-manifest lists (name embeds the md5 of the
+# bytes), so a process-wide cache can never serve stale content; bounded
+# by periodic clear, see LakeTable._bucket_list
+_BUCKET_LIST_CACHE: dict[str, list] = {}
+
+
 def _lock_for(path: str) -> threading.RLock:
     with _COMMIT_LOCKS_GUARD:
         return _COMMIT_LOCKS.setdefault(path, threading.RLock())
@@ -225,8 +233,81 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
-        return Manifest.from_json(
+        d = json.loads(
             self._io.read_text(posixpath.join(self._mdir, f"v{v}.json"))
+        )
+        refs = d.pop("files_ref", None)
+        if refs is not None:
+            files: list[dict] = []
+            for b in sorted(refs, key=int):
+                files.extend(dict(e) for e in self._bucket_list(refs[b]))
+            d["files"] = files
+        return Manifest(
+            version=d["version"],
+            fields=[Field(**f) for f in d["fields"]],
+            key=d["key"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            applied_epochs=d.get("applied_epochs", {}),
+            next_field_id=d.get("next_field_id", 0),
+            summary=d.get("summary", {}),
+            parent=d.get("parent"),
+        )
+
+    def _bucket_list(self, name: str) -> list[dict]:
+        """One bucket's manifest-entry list by content-addressed file name.
+        The files are immutable (name embeds the content hash), so the
+        process-wide cache can never serve stale data; entries are
+        shallow-copied on materialization so callers can't mutate it."""
+        cached = _BUCKET_LIST_CACHE.get(name)
+        if cached is None:
+            cached = json.loads(
+                self._io.read_text(posixpath.join(self._mdir, name))
+            )
+            if len(_BUCKET_LIST_CACHE) > 4096:
+                _BUCKET_LIST_CACHE.clear()
+            _BUCKET_LIST_CACHE[name] = cached
+        return cached
+
+    def _serialize_manifest(self, m: Manifest) -> str:
+        """Two-level (Iceberg manifest-list shaped) persistence: the file
+        inventory is spilled to per-BUCKET, content-addressed side files
+        (`b{bucket}-{md5 of the canonical entry JSON}.json`) and the root
+        manifest stores only their names. A commit touching k of N buckets
+        re-serializes k bucket lists — untouched buckets hash to the same
+        name and the existing side file is reused untouched — so commit
+        metadata cost is O(touched files + root), not O(all files): at
+        10^5 files x 10^4 commits the one-level layout rewrites ~20 MB of
+        JSON per commit and this one ~20 KB. Racing writers producing the
+        same content write the same name with identical bytes, so losing
+        the side-file CAS is benign; orphaned side files from lost ROOT
+        races are GC'd by vacuum under the same age guard as data files."""
+        groups: dict[int, list] = {}
+        for e in m.files:
+            groups.setdefault(e["bucket"], []).append(e)
+        refs: dict[str, str] = {}
+        for b, entries in groups.items():
+            blob = json.dumps(entries, sort_keys=True)
+            h = hashlib.md5(blob.encode()).hexdigest()[:16]
+            name = f"b{b}-{h}.json"
+            p = posixpath.join(self._mdir, name)
+            if name not in _BUCKET_LIST_CACHE:
+                if not self._io.exists(p):
+                    self._io.create_exclusive(p, blob)
+                _BUCKET_LIST_CACHE[name] = json.loads(blob)
+            refs[str(b)] = name
+        return json.dumps(
+            {
+                "version": m.version,
+                "fields": [vars(f) for f in m.fields],
+                "key": m.key,
+                "n_buckets": m.n_buckets,
+                "files_ref": refs,
+                "applied_epochs": m.applied_epochs,
+                "next_field_id": m.next_field_id,
+                "summary": m.summary,
+                "parent": m.parent,
+            }
         )
 
     def _commit(self, m: Manifest) -> None:
@@ -239,7 +320,8 @@ class LakeTable:
         hint update only (current_version probes past it)."""
         self._io.mkdirs(self._mdir)
         if not self._io.create_exclusive(
-            posixpath.join(self._mdir, f"v{m.version}.json"), m.to_json()
+            posixpath.join(self._mdir, f"v{m.version}.json"),
+            self._serialize_manifest(m),
         ):
             raise CommitConflict(
                 f"manifest v{m.version} already committed by a concurrent "
@@ -1002,6 +1084,7 @@ class LakeTable:
         columns: dict[str, str] | None = None,
         types: dict[str, str] | None = None,
         cluster_by: str | None = None,
+        n_buckets: int | None = None,
     ) -> list[dict]:
         """Write df as new immutable data files partitioned by bucket; return
         manifest file entries. For kind='base' df must contain all logical
@@ -1026,7 +1109,8 @@ class LakeTable:
         # scale). Hash repartition on the bucket id gives ~one file per
         # bucket per commit with NO extra pass (repartitionByRange would
         # run a sampling job over the full result before every write).
-        clustered = clustered.repartition(m.n_buckets, F.col("__bucket"))
+        clustered = clustered.repartition(n_buckets or m.n_buckets,
+                                          F.col("__bucket"))
         if cluster_by is not None:
             clustered = clustered.sortWithinPartitions("__bucket", cluster_by)
         writer = clustered.write.partitionBy("__bucket")
@@ -1131,6 +1215,108 @@ class LakeTable:
     def epoch_applied(self, epoch_key: str) -> bool:
         return epoch_key in self.manifest().applied_epochs
 
+    def rebucket(self, n_buckets: int, attempts: int = 3) -> int:
+        """Change the hash-bucket count by rewriting the whole table under
+        the NEW bucket function — partition-spec evolution (Iceberg's
+        bucket[N]->bucket[M] spec change; Hudi/Delta require the same full
+        re-cluster). The op every long-lived lake eventually needs: a
+        table bootstrapped at 16 buckets drowns at 10^5x growth (each
+        bucket becomes TBs; merges and compactions stop parallelizing).
+
+        One Spark job: snapshot read (MOR resolution included, tombstones
+        and their redelivery guard PRESERVED), re-assign `_mb` under the
+        new modulus, key-clustered write, then a CAS commit pinned to the
+        snapshot version that was rewritten — a concurrent epoch commit
+        wins the race and rebucket re-runs against the new head (bounded),
+        so no writer's epoch can be silently folded out. Orphaned files
+        from lost attempts age out via vacuum."""
+        if n_buckets < 1:
+            raise ValueError("rebucket: n_buckets must be >= 1")
+        last_err: CommitConflict | None = None
+        for _ in range(attempts):
+            m = self.manifest()
+            pinned = m.version
+            if m.n_buckets == n_buckets:
+                return pinned
+            df = self.read_raw(version=pinned).withColumn(
+                "_mb",
+                F.pmod(F.xxhash64(F.col(m.key)), F.lit(n_buckets)).cast("int"),
+            )
+            entries = self.write_data_files(
+                df, "_mb", cluster_by=m.key, n_buckets=n_buckets
+            )
+            with self._lock:
+                head = self.manifest()
+                if head.version != pinned:
+                    last_err = CommitConflict(
+                        f"rebucket: head moved {pinned}->{head.version}"
+                    )
+                    continue
+                new_m = Manifest(
+                    version=pinned + 1,
+                    fields=head.fields,
+                    key=head.key,
+                    n_buckets=n_buckets,
+                    files=entries,
+                    applied_epochs=head.applied_epochs,
+                    next_field_id=head.next_field_id,
+                    summary={"op": "rebucket", "from": head.n_buckets,
+                             "to": n_buckets,
+                             "ts_ms": int(time.time() * 1000)},
+                    parent=pinned,
+                )
+                try:
+                    self._commit(new_m)
+                    return new_m.version
+                except CommitConflict as e:
+                    last_err = e
+                    continue
+        raise CommitConflict(
+            f"rebucket: lost {attempts} races to concurrent writers on "
+            f"{self.path}; quiesce epoch application or raise attempts "
+            f"(last: {last_err})"
+        )
+
+    def expire_epochs(self, keep: Callable[[str], bool]) -> dict:
+        """Drop applied-epoch guard entries for which keep(key) is False —
+        the retention companion of the exactly-once guard. applied_epochs
+        grows by one entry per delivered epoch forever; once the source
+        can no longer REDELIVER an epoch (its offset range is past the
+        binlog/WAL retention horizon — the same horizon the reference's
+        exactlyOnceId cache truncates on, MysqlReader.java:851-854), the
+        entry is dead bookkeeping. Expiring a still-redeliverable epoch
+        re-admits it, so the caller owns the horizon decision, exactly
+        like vacuum's min_age_sec — and the blast radius differs by mode:
+        a COW target absorbs an actual redelivery anyway (the MERGE stale
+        guard keeps existing rows at equal/newer seq), while a MOR target
+        would append a second delta with duplicate (key, seq) rows that
+        read-time resolution does NOT collapse (its inputs are unique per
+        (key, seq) by contract) — so for MOR, expire strictly behind the
+        source's redelivery horizon.
+
+        Commits a new snapshot (CAS-raced like any commit); data files
+        are untouched."""
+        with self._lock:
+            for _ in range(20):
+                m = self.manifest()
+                dropped = [k for k in m.applied_epochs if not keep(k)]
+                if not dropped:
+                    return {"dropped": 0, "version": m.version}
+                for k in dropped:
+                    del m.applied_epochs[k]
+                m.version += 1
+                m.parent = m.version - 1
+                m.summary = {"op": "expire_epochs", "dropped": len(dropped),
+                             "ts_ms": int(time.time() * 1000)}
+                try:
+                    self._commit(m)
+                    return {"dropped": len(dropped), "version": m.version}
+                except CommitConflict:
+                    continue
+            raise CommitConflict(
+                f"expire_epochs: 20 consecutive conflicts on {self.path}"
+            )
+
     def vacuum(self, retain_last: int = 2, min_age_sec: float = 3600.0) -> dict:
         """Physically delete data files and manifests no retained snapshot
         references (Delta VACUUM / Iceberg expireSnapshots analog —
@@ -1197,6 +1383,28 @@ class LakeTable:
             if v < floor_v:
                 self._io.delete(posixpath.join(self._mdir, f"v{v}.json"))
                 deleted_manifests += 1
+        # content-addressed bucket-list side files: delete the ones no
+        # retained root references, under the same age guard (a side file
+        # may belong to a root whose CAS hasn't landed yet)
+        ref_names: set[str] = set()
+        for v in keep_versions:
+            d = json.loads(
+                self._io.read_text(posixpath.join(self._mdir, f"v{v}.json"))
+            )
+            ref_names.update(d.get("files_ref", {}).values())
+        for n in self._io.list_names(self._mdir):
+            if not (n.startswith("b") and n.endswith(".json")) or n in ref_names:
+                continue
+            p = posixpath.join(self._mdir, n)
+            try:
+                if now - self._io.mtime(p) < min_age_sec:
+                    skipped_recent += 1
+                    continue
+            except Exception:
+                continue
+            self._io.delete(p)
+            _BUCKET_LIST_CACHE.pop(n, None)
+            deleted_manifests += 1
         return {
             "retained_versions": keep_versions,
             "deleted_files": deleted_files,
