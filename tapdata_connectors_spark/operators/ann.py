@@ -337,3 +337,142 @@ def ivf_train(df: DataFrame, k: int = 4, iters: int = 5,
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS IVF-PQ shape): train per-subspace codebooks,
+# encode vectors to m small codes, search by asymmetric distance (ADC).
+# The memory-bound scale path: a 64-dim float vector (256 B) compresses to
+# m bytes of codes, so a 10^10-vector corpus's quantized form fits the
+# aggregate RAM of a modest cluster while the raw vectors stay in parquet.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(df: DataFrame, m: int = 4, ksub: int = 16, iters: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> list[list[list[int]]]:
+    """codebooks[sub][code][dsub]: independent Lloyd k-means per subspace
+    (ivf_train on the sliced column — same one-shuffle-per-iteration,
+    driver-roundtrips-only-centroids topology, m× sequentially; training
+    is offline). Requires dim % m == 0."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("pq_train: empty corpus")
+    dim = first[0]["d"]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(ivf_train(sliced, k=ksub, iters=iters,
+                               id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def pq_codes_col(v: Column, codebooks: list[list[list[int]]]) -> Column:
+    """array<int> of m per-subspace nearest-codeword ids for one SCALED
+    vector — m × ksub integer distance evals per row, all JVM array
+    expressions, map-only."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(*[
+        assign_col(F.slice(v, s * dsub + 1, dsub), codebooks[s])["cid"]
+        for s in range(m)
+    ])
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[int]]],
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """(vec_id, codes): the quantized corpus — m ints per vector in place
+    of the full embedding."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        pq_codes_col(scaled_vec(F.col(vec_col)), codebooks).alias("codes"),
+    )
+
+
+def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
+                   codebooks: list[list[list[int]]],
+                   n_queries: int = 3, k: int = 5, nprobe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """IVF-PQ search: inverted lists from the coarse quantizer + PQ codes
+    instead of raw vectors, ranked by ASYMMETRIC distance — each query
+    precomputes dot(q_sub, codeword) for every (subspace, codeword) pair
+    (m×ksub integer dots, computed once per query) and a candidate's
+    approximate dot is m table lookups over its codes, never a dim-wide
+    product.
+
+    Scale shape: the corpus side carries only (cid, codes) — assignment
+    and encoding are map-only over broadcast literal codebooks; the probe
+    join broadcasts the (queries × nprobe) frame WITH each query's ADC
+    table riding along as an array column, so candidate scoring touches
+    no raw vector. Work ∝ probed-list sizes × m. Exactness property:
+    with ksub = corpus size the codewords converge to the vectors and
+    ADC ranking equals brute force (pytest-asserted); recall at real
+    (m, ksub, nprobe) is gated against brute-force ground truth."""
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
+    )
+    corpus = base.select(
+        "vec_id",
+        assign_col(F.col("v"), centroids)["cid"].alias("cid"),
+        pq_codes_col(F.col("v"), codebooks).alias("codes"),
+    )
+    # queries: nprobe probe cids + the ADC lookup table adc[sub][code]
+    probe_pairs = F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    adc = F.array(*[
+        F.array(*[
+            int_dot(F.slice(F.col("qv"), s * dsub + 1, dsub),
+                    F.array(*[F.lit(int(x)).cast("long")
+                              for x in codebooks[s][j]]))
+            for j in range(len(codebooks[s]))
+        ])
+        for s in range(m)
+    ])
+    qp = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("adc", adc)
+        .withColumn("p", F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)))
+        .select("query_id", "adc", F.col("p.cid").alias("cid"))
+    )
+    cand = (
+        corpus.join(F.broadcast(qp), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "adc_dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("adc"),
+                    lambda c, t: F.element_at(t, c.cast("int") + 1),
+                ),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"), "adc_dot")
+    )

@@ -1800,6 +1800,27 @@ SQL_CDC_REPLICA_TS_RANGE = SQL_CDC_APPLY_UPSERT.replace(
 )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (FAISS IndexIVFPQ shape): coarse inverted lists +
+    product-quantized codes, ranked by asymmetric distance — each query
+    precomputes dot(q_sub, codeword) tables and candidates cost m table
+    lookups instead of a dim-wide product; the corpus side carries only
+    (cid, codes), never raw vectors. NO SQL oracle by design: the trained
+    per-subspace codebooks are data-dependent Lloyd k-means output
+    (iterative training is not SQL-expressible) — correctness is
+    pytest-gated instead (tests/test_ann.py: PQ train/encode ≡ the python
+    Lloyd oracle; ksub=corpus ⇒ exact brute-force equality; fixed
+    recall@5 vs ground truth). Engine op: operators/ann.ann_ivfpq_topk."""
+    from tapdata_connectors_spark.operators import ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [list(r["v"]) for r in
+             e.select("vec_id", _scaled_vec().alias("v"))
+             .filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    books = ann.pq_train(e, m=4, ksub=16, iters=2)
+    return ann.ann_ivfpq_topk(e, cents, books, n_queries=3, k=5, nprobe=2)
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation — the Structured-Streaming
     windowed-agg shape (F.window is the same expression batch and stream;
@@ -1986,6 +2007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_replica_ts_range": q_cdc_replica_ts_range,
     "events_tumbling_window": q_events_tumbling_window,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,  # oracle-less: see its docstring
     "url_canonical_dedup": q_url_canonical_dedup,
     "host_cap_sample": q_host_cap_sample,
     "contamination_check": q_contamination_check,

@@ -272,3 +272,80 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
         got = sorted([(r["rank"], r["neighbor_id"], r["dot"])
                       for r in full if r["query_id"] == q])
         assert got == [(rk + 1, i, d) for rk, (d, i) in enumerate(brute)]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ann.pq_train / pq_encode / ann_ivfpq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _py_pq_train(vecs, m, ksub, iters):
+    dsub = DIM // m
+    return [
+        _py_train([(i, v[s * dsub:(s + 1) * dsub]) for i, v in vecs],
+                  ksub, iters)
+        for s in range(m)
+    ]
+
+
+def _py_pq_codes(v, books):
+    m = len(books)
+    dsub = DIM // m
+    sv = _scale(v)
+    return [_py_assign(sv[s * dsub:(s + 1) * dsub], books[s])[1]
+            for s in range(m)]
+
+
+def test_pq_train_and_encode_match_python(spark):
+    vecs = _vecs(40, seed=21)
+    books = ann.pq_train(_df(spark, vecs), m=2, ksub=4, iters=3)
+    assert books == _py_pq_train(vecs, 2, 4, 3)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in ann.pq_encode(_df(spark, vecs), books).collect()}
+    for i, v in vecs:
+        assert codes[i] == _py_pq_codes(v, books), i
+
+
+def test_ivfpq_exact_when_ksub_covers_corpus(spark):
+    """ksub = corpus size -> singleton codewords = the vectors themselves
+    -> ADC dot == exact dot and full-probe IVF-PQ == brute force (the
+    PQ analog of the nprobe=k_clusters contract)."""
+    vecs = _vecs(12, seed=5)
+    df = _df(spark, vecs)
+    cents = [_scale(v) for i, v in vecs[:3]]
+    books = ann.pq_train(df, m=2, ksub=12, iters=2)
+    got = ann.ann_ivfpq_topk(df, cents, books, n_queries=2, k=4,
+                             nprobe=3).collect()
+    sv = {i: _scale(v) for i, v in vecs}
+    for q in range(2):
+        brute = sorted(
+            ((sum(x * y for x, y in zip(sv[q], sv[i])), i)
+             for i in sv if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        mine = sorted([(r["rank"], r["neighbor_id"], r["adc_dot"])
+                       for r in got if r["query_id"] == q])
+        assert mine == [(rk + 1, i, d) for rk, (d, i) in enumerate(brute)]
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    """Real compression (m=2, ksub=16 on 90 vectors): recall@5 against
+    exact brute force stays high on the clustered corpus — determinism
+    of data, training and ranking makes this a fixed number (10/15),
+    not a flaky statistical bound."""
+    vecs = _vecs(90, seed=9)
+    df = _df(spark, vecs)
+    cents = [_scale(v) for i, v in vecs[:4]]
+    books = ann.pq_train(df, m=2, ksub=16, iters=3)
+    got = ann.ann_ivfpq_topk(df, cents, books, n_queries=3, k=5,
+                             nprobe=4).collect()
+    sv = {i: _scale(v) for i, v in vecs}
+    hits = total = 0
+    for q in range(3):
+        brute = {i for _, i in sorted(
+            ((-sum(x * y for x, y in zip(sv[q], sv[i])), i)
+             for i in sv if i != q))[:5]}
+        mine = {r["neighbor_id"] for r in got if r["query_id"] == q}
+        hits += len(brute & mine)
+        total += 5
+    assert hits / total >= 0.6, (hits, total)

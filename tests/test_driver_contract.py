@@ -42,8 +42,20 @@ def _duck(sql: str):
 def _pairs():
     from tapdata_connectors_spark.queries import ORACLE_SQL, QUERIES
 
-    assert set(QUERIES) == set(ORACLE_SQL)
-    return sorted(QUERIES)
+    # every oracle has a query; a few queries are legitimately oracle-less
+    # (non-SQL-expressible — e.g. trained-codebook ANN search; the driver
+    # records a rows-only check for those, pytest carries the real gate)
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    return sorted(ORACLE_SQL)
+
+
+def test_oracleless_queries_still_run(spark):
+    """Queries without a SQL oracle must still execute and return rows at
+    the driver's sf (their correctness gates live in their own pytest)."""
+    from tapdata_connectors_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in sorted(set(QUERIES) - set(ORACLE_SQL)):
+        assert QUERIES[name](spark, SF_DIR).count() > 0, name
 
 
 @pytest.mark.parametrize("name", _pairs())
