@@ -351,25 +351,69 @@ def ivf_train(df: DataFrame, k: int = 4, iters: int = 5,
 def pq_train(df: DataFrame, m: int = 4, ksub: int = 16, iters: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> list[list[list[int]]]:
-    """codebooks[sub][code][dsub]: independent Lloyd k-means per subspace
-    (ivf_train on the sliced column — same one-shuffle-per-iteration,
-    driver-roundtrips-only-centroids topology, m× sequentially; training
-    is offline). Requires dim % m == 0."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not first:
-        raise ValueError("pq_train: empty corpus")
-    dim = first[0]["d"]
+    """codebooks[sub][code][dsub]: independent Lloyd k-means per subspace,
+    all m trained SIMULTANEOUSLY — subvectors explode to (subspace, sv)
+    rows and each iteration is ONE assignment + ONE groupBy((s, cid))
+    shuffle for every codebook at once (m sequential trainings were m×
+    iters Spark jobs; job-scheduling overhead dominated the arithmetic at
+    corpus scale). Same integer Lloyd math as ivf_train (seeds = lowest
+    ksub ids, nearest-int means, empty clusters keep their centroid), so
+    the python-oracle parity test is unchanged. Requires dim % m == 0.
+    Train on a hash SAMPLE at scale — codebooks need the distribution,
+    not the corpus (the FAISS practice)."""
+    seeds = df.select(F.col(id_col), scaled_vec(F.col(vec_col)).alias("v")) \
+        .orderBy(id_col).limit(ksub).collect()
+    if len(seeds) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors, have {len(seeds)}")
+    dim = len(seeds[0]["v"])
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
-        )
-        books.append(ivf_train(sliced, k=ksub, iters=iters,
-                               id_col=id_col, vec_col=vec_col))
+    books = [
+        [list(r["v"])[s * dsub:(s + 1) * dsub] for r in seeds]
+        for s in range(m)
+    ]
+    v = scaled_vec(F.col(vec_col))
+    sub = df.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice(v, s * dsub + 1, dsub).alias("sv"))
+            for s in range(m)
+        ])).alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    sub = sub.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            cents_by_s = F.array(*[_centroid_lit(b) for b in books])
+            pairs = F.transform(
+                F.element_at(cents_by_s, F.col("s") + 1),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("sv"), c["cv"],
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+            assigned = sub.withColumn("cid", F.array_min(pairs)["cid"])
+            sums = assigned.groupBy("s", "cid").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at(F.col("sv"), i + 1)).alias(f"d{i}")
+                  for i in range(dsub)],
+            ).collect()
+            new: dict[tuple[int, int], list[int]] = {
+                (r["s"], r["cid"]):
+                    [(2 * r[f"d{i}"] + r["n"]) // (2 * r["n"])
+                     for i in range(dsub)]
+                for r in sums
+            }
+            books = [
+                [new.get((s, c), books[s][c]) for c in range(ksub)]
+                for s in range(m)
+            ]
+    finally:
+        sub.unpersist()
     return books
 
 

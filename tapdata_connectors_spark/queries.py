@@ -1817,7 +1817,11 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [list(r["v"]) for r in
              e.select("vec_id", _scaled_vec().alias("v"))
              .filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
-    books = ann.pq_train(e, m=4, ksub=16, iters=2)
+    # train on a deterministic ~1/8 hash sample — the FAISS practice
+    # (codebooks need the distribution, not the corpus); encoding and
+    # search still run over everything
+    sample = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(8)) == 0)
+    books = ann.pq_train(sample, m=4, ksub=16, iters=2)
     return ann.ann_ivfpq_topk(e, cents, books, n_queries=3, k=5, nprobe=2)
 
 

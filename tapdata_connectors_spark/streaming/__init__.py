@@ -6,8 +6,14 @@ from tapdata_connectors_spark.streaming.curation import (
     prune_pages,
 )
 from tapdata_connectors_spark.streaming.driver import CdcPipeline
+from tapdata_connectors_spark.streaming.rollup import (
+    create_rollup_table,
+    refresh_rollup,
+    rollup_watermark,
+)
 from tapdata_connectors_spark.streaming.stateful import seq_continuity_monitor
 
 __all__ = ["CdcPipeline", "dedup_pages", "find_dup_pages",
            "find_new_dup_pages", "find_low_quality_pages", "prune_pages",
-           "seq_continuity_monitor"]
+           "seq_continuity_monitor", "create_rollup_table",
+           "refresh_rollup", "rollup_watermark"]
