@@ -926,12 +926,22 @@ class LakeTable:
         + manifest-bounds file skipping + key-equality pushdown — the
         production path for the reference's queryByFilter point lookup
         over the lake (CommonDbConnector.java:377-398 runs it as
-        WHERE pk = ?)."""
+        WHERE pk = ?). The bucket is computed DRIVER-SIDE (pure-python
+        XXH64 with pinned bit-parity to Spark's xxhash64 —
+        functions/xxh.py), so until the pruned file scan a lookup is
+        metadata-only: no Spark job just to hash one literal."""
+        from tapdata_connectors_spark.functions.xxh import spark_xxhash64
+
         m = self.manifest(version)
-        b = self.spark.createDataFrame(
-            [(key_value,)], T.StructType([T.StructField(m.key, type_of(
-                next(f.type for f in m.fields if f.name == m.key)))])
-        ).select(self.bucket_expr(m.key).alias("b")).collect()[0]["b"]
+        key_type = next(f.type for f in m.fields if f.name == m.key)
+        h = spark_xxhash64(key_value, key_type)
+        if h is not None:
+            b = h % m.n_buckets  # python % == Spark pmod (non-negative)
+        else:  # unsupported key type: evaluate the expression in Spark
+            b = self.spark.createDataFrame(
+                [(key_value,)],
+                T.StructType([T.StructField(m.key, type_of(key_type))])
+            ).select(self.bucket_expr(m.key).alias("b")).collect()[0]["b"]
         df = self.read_raw(
             version, buckets=[b], prune={m.key: (key_value, key_value)}
         )
