@@ -39,13 +39,14 @@ _WM_PREFIX = "rollup_src_v:"
 
 def create_rollup_table(
     spark: SparkSession, path: str, group_field: tuple[str, str],
-    n_buckets: int = 1,
+    sum_cols: list[str] | None = None, n_buckets: int = 1,
 ) -> LakeTable:
-    """A rollup table: (group, n). Tiny by construction (|distinct
-    groups| rows), so 1 bucket is the right default."""
+    """A rollup table: (group, n[, sum_<col>...]). Tiny by construction
+    (|distinct groups| rows), so 1 bucket is the right default."""
+    fields = [group_field, ("n", "bigint")]
+    fields += [(f"sum_{c}", "bigint") for c in (sum_cols or [])]
     return LakeTable.create(
-        spark, path, [group_field, ("n", "bigint")],
-        key=group_field[0], n_buckets=n_buckets,
+        spark, path, fields, key=group_field[0], n_buckets=n_buckets,
     )
 
 
@@ -60,9 +61,14 @@ def rollup_watermark(dst: LakeTable) -> int:
 
 def refresh_rollup(
     src: LakeTable, dst: LakeTable, group_col: str,
+    sum_cols: list[str] | None = None,
     to_version: int | None = None,
 ) -> dict:
     """Fold source changes since the stored watermark into the rollup.
+    `sum_cols` maintains per-group SUMS of integer source columns
+    alongside the count — same signed algebra (+post − pre), so an
+    update that changes only the summed value (not the group) adjusts
+    the sum by the delta and the count by zero. Null values sum as 0.
     Returns {since, to, groups_changed, skipped}."""
     to = src.current_version() if to_version is None else to_version
     since = rollup_watermark(dst)
@@ -86,14 +92,26 @@ def refresh_rollup(
     # group is the rollup table's KEY (non-null by lake contract), and a
     # count rollup must account for null-group rows, not drop them
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    sums = sum_cols or []
+    def val(c):
+        # a summed column may postdate `since` (ADD COLUMN mid-stream):
+        # absent -> contributes 0, exactly like its pre-DDL null values
+        return F.col(c) if c in ch.columns else F.lit(None)
+
     adj = (
-        ch.select(g.alias("__g"), sign.alias("__s"))
+        ch.select(g.alias("__g"), sign.alias("__s"),
+                  *[val(c).alias(f"__v_{c}") for c in sums])
         .groupBy("__g")
-        .agg(F.sum("__s").cast("bigint").alias("__dn"))
-        .filter(F.col("__dn") != 0)
+        .agg(
+            F.sum("__s").cast("bigint").alias("__dn"),
+            *[F.sum(F.col("__s")
+                    * F.coalesce(F.col(f"__v_{c}").cast("bigint"), F.lit(0)))
+              .cast("bigint").alias(f"__dv_{c}") for c in sums],
+        )
     )
     state = dst.read().select(
-        F.col(group_col).alias("__g"), F.col("n").alias("__n")
+        F.col(group_col).alias("__g"), F.col("n").alias("__n"),
+        *[F.col(f"sum_{c}").alias(f"__o_{c}") for c in sums],
     )
     merged = (
         state.join(adj, "__g", "full_outer")
@@ -101,6 +119,9 @@ def refresh_rollup(
             F.col("__g").alias(group_col),
             (F.coalesce("__n", F.lit(0))
              + F.coalesce("__dn", F.lit(0))).alias("n"),
+            *[(F.coalesce(f"__o_{c}", F.lit(0))
+               + F.coalesce(f"__dv_{c}", F.lit(0))).alias(f"sum_{c}")
+              for c in sums],
         )
     )
     out = (

@@ -64,6 +64,50 @@ def test_rollup_tracks_full_recompute_incrementally(spark, tmpdir_):
     assert moved > 0
 
 
+def test_rollup_with_sums_across_ddl(spark, tmpdir_):
+    """sum_cols maintains per-group SUMS with the same signed algebra;
+    the summed column arrives MID-STREAM via ADD COLUMN DDL, so the
+    rollup also proves itself across schema evolution (rows from before
+    the DDL sum the column as 0/null)."""
+    from tapdata_connectors_spark.sources.generator import DdlSpec
+
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=2, merge_mode="cow")
+    ev = generate_events(spark, GeneratorConfig(
+        n_events=900, n_urls=120, epoch_size=300,
+        p_update=0.45, p_delete=0.15,
+        ddl=(DdlSpec(seq=300, kind="ADD_COLUMN", column="views",
+                     new_type="int"),),
+        extras_cols=(("views", 300, "int"),),
+    ))
+    dst = create_rollup_table(spark, f"{tmpdir_}/rollup",
+                              ("lang", "string"), sum_cols=["views"])
+    for e in range(3):
+        pipe.apply_epoch(ev.filter(F.col("epoch") == e), e)
+        res = refresh_rollup(pipe.table, dst, "lang", sum_cols=["views"])
+        assert not res["skipped"]
+        want = {
+            r["g"]: (r["n"], r["sv"])
+            for r in pipe.table.read().groupBy(
+                F.coalesce(F.col("lang").cast("string"),
+                           F.lit("__null__")).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.coalesce(F.col("views").cast("bigint"),
+                                  F.lit(0))).alias("sv"))
+            .collect()
+        } if "views" in pipe.table.read().columns else {
+            r["g"]: (r["n"], 0)
+            for r in pipe.table.read().groupBy(
+                F.coalesce(F.col("lang").cast("string"),
+                           F.lit("__null__")).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        got = {r["lang"]: (r["n"], r["sum_views"]) for r in dst.read().collect()}
+        assert got == want, f"epoch {e}"
+    # the summed column really carried values by the end
+    assert any(sv != 0 for _, sv in got.values())
+
+
 def test_rollup_refresh_idempotent_and_skips_when_current(spark, tmpdir_):
     pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
                        n_buckets=2, merge_mode="mor", compact_every=99)
