@@ -71,6 +71,13 @@ def test_prune_entries_skips_disjoint_commits(spark, tmpdir_):
     assert len(kept) == 1 and kept[0]["stats"][SEQ_COL] == [10, 10]
     # unbounded predicate keeps everything
     assert len(t.prune_entries(m, m.files, {"url": (None, None)})) == 2
+    # the prune reaches the PHYSICAL scan: only the surviving file is an
+    # input of the plan, and the re-applied predicate is pushed into it
+    rr = t.read_range({"warc_ts": (None, _ts(5))})
+    assert len(rr.inputFiles()) == 1
+    plan = rr._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "DataFilters: [isnotnull(warc_ts" in scan  # reaches the scan
 
 
 def test_read_range_matches_unpruned_filter_cow_and_mor(spark, tmpdir_):
