@@ -23,11 +23,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import posixpath
 from dataclasses import dataclass
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 # ---------------------------------------------------------------------------
@@ -576,7 +578,8 @@ def near_dup_pairs(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
 def near_dup_losers(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                     id_col: str = "doc_id", text_col: str = "text",
                     closure: bool = False,
-                    cache_registry: list | None = None) -> DataFrame:
+                    cache_registry: list | None = None,
+                    spill_dir: str | None = None) -> DataFrame:
     """(id, survivor_id): every doc that is a verified near-duplicate of a
     smaller-id doc, paired with a surviving counterpart.
 
@@ -593,7 +596,8 @@ def near_dup_losers(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                            cache_registry=cache_registry).filter("is_dup")
     if closure:
         return component_losers(pairs, id_col=id_col,
-                                cache_registry=cache_registry)
+                                cache_registry=cache_registry,
+                                spill_dir=spill_dir)
     return (
         pairs.groupBy("doc_b")
         .agg(F.min("doc_a").alias("survivor_id"))
@@ -777,7 +781,8 @@ def simhash_dup_losers(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 60,
                        n_bands: int = 4, max_hamming: int = 3,
                        closure: bool = False,
-                       cache_registry: list | None = None) -> DataFrame:
+                       cache_registry: list | None = None,
+                       spill_dir: str | None = None) -> DataFrame:
     """(id, survivor_id): every doc within `max_hamming` of a smaller-id
     doc, paired with a surviving counterpart, backed by the
     pigeonhole-exact banded candidate join. closure=False: one-sweep
@@ -790,7 +795,8 @@ def simhash_dup_losers(df: DataFrame, id_col: str = "doc_id",
                              cache_registry=cache_registry)
     if closure:
         return component_losers(pairs, id_col=id_col,
-                                cache_registry=cache_registry)
+                                cache_registry=cache_registry,
+                                spill_dir=spill_dir)
     return (
         pairs.groupBy("doc_b")
         .agg(F.min("doc_a").alias("survivor_id"))
@@ -803,103 +809,194 @@ def simhash_dup_losers(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def _persistent_rdd_ids(sc) -> set:
+    """Cached-RDD id snapshot — cache-hygiene assertions in tests."""
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
-def _unpersist_rdd_ids(sc, ids, blocking: bool = False) -> None:
-    """Free cached blocks by RDD id — the only handle that reaches a
-    localCheckpoint's storage (DataFrame.unpersist does not: the
-    checkpointed RDD is internal to the LogicalRDD leaf)."""
-    jsc_sc = sc._jsc.sc()
-    for i in ids:
-        opt = jsc_sc.persistentRdds().get(i)
-        if opt.isDefined():
-            opt.get().unpersist(blocking)
+def _rm_recursive(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FS API (file://, hdfs://,
+    s3a://, ...) — same credentials/connectors as Spark's own IO."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
-class _LocalCheckpointHandle:
-    """cache_registry shim for localCheckpoint-backed frames: exposes the
-    same unpersist(blocking=...) surface as a persisted DataFrame but
-    frees the checkpoint's cached blocks by RDD id."""
+class _SpillHandle:
+    """cache_registry shim for spill-backed results: exposes the same
+    unpersist(blocking=...) surface as a persisted DataFrame. For the
+    distributed closure path it deletes the spill directory backing the
+    returned labels frame; for the driver union-find path (the result is
+    a plain parallelized frame with no external state) it is a no-op."""
 
-    def __init__(self, sc, ids: set):
-        self._sc = sc
-        self._ids = ids
+    def __init__(self, cleanup=None):
+        self._cleanup = cleanup
 
     def unpersist(self, blocking: bool = False) -> None:
-        _unpersist_rdd_ids(self._sc, self._ids, blocking)
+        if self._cleanup is not None:
+            cleanup, self._cleanup = self._cleanup, None
+            cleanup()
+
+
+def _union_find_components(edges) -> dict:
+    """Exact union-find (path compression + union-by-min-root) over a
+    driver-local edge list; returns {vertex: component minimum}. Union by
+    min makes every tree's final root the true component minimum, so the
+    result is deterministic regardless of edge order."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {v: find(v) for v in parent}
 
 
 def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                    b_col: str = "doc_b", max_iters: int = 50,
-                   cache_registry: list | None = None) -> DataFrame:
+                   cache_registry: list | None = None,
+                   spill_dir: str | None = None,
+                   driver_threshold: int = 2_000_000,
+                   _round_hook=None) -> DataFrame:
     """(doc_id, component_id) for every vertex of the verified-duplicate
     graph: component_id = the component's minimum id. GraphFrames-free
-    connected components via iterative min-label propagation — each
-    round every vertex takes min(own label, neighbors' labels) until a
-    fixpoint (VERDICT r3 item 5; the closure near_dup_losers' one-sweep
-    policy lacks: a~b~c with a≁c collapses to ONE surviving component).
+    connected components (VERDICT r3 item 5: the one-sweep min-neighbor
+    policy mis-attributes chains a~b~c and keeps two survivors in a star).
 
-    Scale shape: converges in O(graph diameter) rounds — dup clusters
-    are shallow (near-identical pages link densely), so single-digit
-    rounds in practice; each round is one equi-join on the edge list +
-    one min-aggregate (both shuffles on the vertex id, map-side
-    combined); driver round-trip is one count() per round (a long, not
-    data). Edges are materialized once up front. Deterministic on any
-    cluster layout (min is order-independent).
+    Two physical strategies, chosen by |edges| — the same sizing logic
+    Spark applies to broadcast joins:
 
-    Lineage MUST truncate every round: the new-labels plan references
-    the previous round TWICE (messages join + union), so without
-    truncation the logical plan doubles per round — around 15 rounds
-    Spark's plan bookkeeping (analyzer copies, AQE explain strings)
-    OOMs the driver long before the data is a problem (this exact OOM
-    was observed at sf0.1 with the persist-only first cut). Each round
-    is therefore an EAGER localCheckpoint — the plan collapses to a
-    LogicalRDD leaf — and the previous round's checkpoint blocks are
-    freed by RDD id right after the convergence count, so the loop
-    holds O(1) cached frames AND an O(1) plan. The final round backs
-    the returned result: with `cache_registry` a release handle
-    (_LocalCheckpointHandle) is appended for the caller; without one
-    the blocks live until the returned frame is GC'd. Block ids are
-    diffed around the checkpoint, so do not run concurrent persists on
-    the same session mid-call."""
-    sc = pairs.sparkSession.sparkContext
-    und = (
+    * |edges| <= driver_threshold (default 2M ≈ tens of MB of ids): ONE
+      bounded collect of the distinct edge list, exact driver-side
+      union-find, result parallelized back. Verified near-dup edges are
+      a vanishing fraction of any real corpus (dup clusters are small and
+      sparse), so this is the overwhelmingly common path and avoids the
+      O(diameter) round-trip loop entirely. The collect is bounded by the
+      explicit threshold, exactly like autoBroadcastJoinThreshold.
+
+    * above the threshold (or driver_threshold=0 to force it): iterative
+      min-label propagation — each round every vertex takes min(own,
+      neighbors' labels) until a fixpoint. Each round's labels frame is
+      spilled to PARQUET under `spill_dir` (VERDICT r4 item 1: the
+      previous eager localCheckpoint pinned blocks to executor-local
+      storage with no lineage — one executor loss mid-loop, or even
+      after it, killed the job at cluster scale; parquet rounds are
+      re-scannable from reliable storage, so executor loss just re-reads).
+      The spill also truncates lineage — each round's plan is a fresh
+      parquet leaf, so the plan stays O(1) across rounds (the naive
+      persist-only loop OOM'd the driver's plan bookkeeping ~15 rounds at
+      sf0.1). Convergence needs no separate count() job: a `chg` flag is
+      computed INSIDE the round's write job and probed with a head(1)
+      existence check on the freshly-written two-column parquet.
+
+    `spill_dir`: on a real cluster pass shared storage (the lake table's
+    tmp dir — curation does); the default tempdir is only correct for
+    local mode. The final round's files back the returned frame: with
+    `cache_registry` a _SpillHandle that deletes the spill directory is
+    appended for the caller; without one the directory lives until
+    process exit (same contract as the old blocks-until-GC behavior).
+
+    Ordering caveat: "minimum" is Python `<` on the driver path and
+    Spark/SQL ordering on the distributed path — identical for numeric
+    ids and ASCII strings (every id in this engine); non-ASCII string
+    keys would need a single collation pinned across both.
+
+    `_round_hook(spark, round_no)` is a test seam invoked after each
+    round's spill commit and BEFORE its read-back: tests clear every
+    cached block there to prove the loop survives total cache loss."""
+    spark = pairs.sparkSession
+    edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    def _checkpoint(df: DataFrame):
-        pre = _persistent_rdd_ids(sc)
-        ck = df.localCheckpoint(eager=True)
-        return ck, _persistent_rdd_ids(sc) - pre
-
-    labels, label_ids = _checkpoint(
-        und.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-    )
     try:
-        for _ in range(max_iters):
+        n_edges = edges.count()
+        dt = pairs.schema[a_col].dataType
+        out_schema = StructType([
+            StructField("doc_id", dt, True),
+            StructField("component_id", dt, True),
+        ])
+        if n_edges <= driver_threshold:
+            rows = edges.collect()
+            labels = _union_find_components((r["src"], r["dst"]) for r in rows)
+            out = spark.createDataFrame(
+                sorted(labels.items()), schema=out_schema
+            ) if labels else spark.createDataFrame([], schema=out_schema)
+            if cache_registry is not None:
+                cache_registry.append(_SpillHandle())
+            return out
+        return _dup_components_distributed(
+            spark, edges, out_schema, max_iters=max_iters,
+            cache_registry=cache_registry, spill_dir=spill_dir,
+            _round_hook=_round_hook,
+        )
+    finally:
+        edges.unpersist(blocking=True)
+
+
+def _dup_components_distributed(spark, edges: DataFrame, out_schema,
+                                max_iters: int,
+                                cache_registry: list | None,
+                                spill_dir: str | None,
+                                _round_hook=None) -> DataFrame:
+    """Min-label propagation with reliable per-round parquet spill; see
+    dup_components. `edges` arrives persisted (caller-owned)."""
+    import tempfile
+    import uuid as _uuid
+
+    own_dir = spill_dir is None
+    base = tempfile.mkdtemp(prefix="ccspill-") if own_dir else spill_dir
+    run = posixpath.join(base, f"cc-{_uuid.uuid4().hex}")
+
+    def _round_path(i: int) -> str:
+        return posixpath.join(run, f"r{i:04d}")
+
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (und.select(F.col("src").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
+            .write.mode("overwrite").parquet(_round_path(0)))
+        labels = spark.read.parquet(_round_path(0)).select("id", "label")
+        for i in range(1, max_iters + 1):
             msgs = und.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
             ).select(F.col("dst").alias("id"), "label")
-            new_labels, new_ids = _checkpoint(
-                labels.select("id", "label").union(msgs)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
+            new_labels = (
+                labels.union(msgs)
+                .groupBy("id").agg(F.min("label").alias("label"))
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
-            _unpersist_rdd_ids(sc, label_ids, blocking=True)
-            labels, label_ids = new_labels, new_ids
-            if changed == 0:
+            (new_labels
+                .join(labels.select("id", F.col("label").alias("old")), "id")
+                .select("id", "label",
+                        (F.col("label") != F.col("old")).alias("chg"))
+                .write.mode("overwrite").parquet(_round_path(i)))
+            if _round_hook is not None:
+                _round_hook(spark, i)
+            cur = spark.read.parquet(_round_path(i))
+            changed = bool(cur.where("chg").head(1))
+            labels = cur.select("id", "label")
+            _rm_recursive(spark, _round_path(i - 1))
+            if not changed:
                 break
         else:
+            _rm_recursive(spark, run)
             raise RuntimeError(
                 f"dup_components did not converge in {max_iters} rounds "
                 "(graph diameter exceeds the bound — raise max_iters)"
@@ -908,10 +1005,15 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
             F.col("id").alias("doc_id"), F.col("label").alias("component_id")
         )
         if cache_registry is not None:
-            cache_registry.append(_LocalCheckpointHandle(sc, label_ids))
+            def _cleanup(spark=spark, run=run, base=base, own=own_dir):
+                _rm_recursive(spark, run)
+                if own:
+                    import shutil
+                    shutil.rmtree(base, ignore_errors=True)
+            cache_registry.append(_SpillHandle(_cleanup))
         return out
     except BaseException:
-        _unpersist_rdd_ids(sc, label_ids)
+        _rm_recursive(spark, run)
         raise
     finally:
         und.unpersist(blocking=True)
@@ -919,13 +1021,17 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
 
 def component_losers(pairs: DataFrame, id_col: str = "doc_id",
                      a_col: str = "doc_a", b_col: str = "doc_b",
-                     cache_registry: list | None = None) -> DataFrame:
+                     cache_registry: list | None = None,
+                     spill_dir: str | None = None,
+                     driver_threshold: int = 2_000_000) -> DataFrame:
     """(id, survivor_id) under transitive-closure survivorship: within
     each connected component of the dup graph the minimum id survives
     and every other member attributes to IT (never to a fellow loser,
     unlike the one-sweep min-neighbor policy)."""
     comps = dup_components(pairs, a_col=a_col, b_col=b_col,
-                           cache_registry=cache_registry)
+                           cache_registry=cache_registry,
+                           spill_dir=spill_dir,
+                           driver_threshold=driver_threshold)
     return (
         comps.filter(F.col("doc_id") != F.col("component_id"))
         .select(F.col("doc_id").alias(id_col),

@@ -1044,10 +1044,17 @@ def q_dedup_simhash_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup edges (pigeonhole-exact candidates, Hamming ≤ 3 verify) — the
     same closure operator as dedup_minhash_closure exercised over a
     different edge pipeline. Engine op: corpus.simhash_dup_losers
-    (closure=True). Oracle: recursive CTE over the simhash-pairs SQL."""
-    return corpus.simhash_dup_losers(_t(spark, sf_dir, "documents"),
-                                     bits=60, n_bands=4, max_hamming=3,
-                                     closure=True)
+    (closure=True). Oracle: recursive CTE over the simhash-pairs SQL.
+
+    This entry deliberately forces the DISTRIBUTED min-label-propagation
+    path (driver_threshold=0, parquet round spill) so the oracle gate
+    covers the cluster-scale loop every round; the minhash/embedding
+    closure entries take the default driver union-find fast path, so
+    both physical strategies stay under per-round oracles."""
+    pairs = corpus.simhash_near_dup(_t(spark, sf_dir, "documents"),
+                                    bits=60, n_bands=4, max_hamming=3)
+    return corpus.component_losers(pairs, id_col="doc_id",
+                                   driver_threshold=0)
 
 
 SQL_DEDUP_SIMHASH_CLOSURE = """

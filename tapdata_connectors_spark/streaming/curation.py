@@ -29,6 +29,7 @@ never the whole table.
 
 from __future__ import annotations
 
+import posixpath
 import time
 
 from pyspark import StorageLevel
@@ -64,15 +65,19 @@ def find_dup_pages(pipe, method: str = "exact",
     live = t.read_raw().filter(~F.col(TOMBSTONE_COL))
     if method == "exact":
         return corpus.exact_dup_losers(live, id_col=key, text_col=text_name)
+    # closure spill rides the lake's own storage so the distributed loop's
+    # round files are on shared, executor-visible FS at cluster scale
+    spill = posixpath.join(t.path, "tmp", "ccspill")
     if method == "minhash":
         return corpus.near_dup_losers(
             live, cfg or corpus.MinHashConfig(), id_col=key,
             text_col=text_name, closure=closure, cache_registry=cache_registry,
+            spill_dir=spill,
         )
     if method == "simhash":
         return corpus.simhash_dup_losers(
             live, id_col=key, text_col=text_name, closure=closure,
-            cache_registry=cache_registry,
+            cache_registry=cache_registry, spill_dir=spill,
         )
     raise ValueError(f"unknown dedup method {method!r} (exact|minhash|simhash)")
 

@@ -427,6 +427,66 @@ def test_dup_components_cache_registry(spark):
     assert after <= before, f"leaked cached RDDs: {after - before}"
 
 
+def _random_dup_graph(spark, seed=7, n=120, extra=60):
+    """Deterministic random graph: a few chains/stars plus random edges."""
+    import random
+
+    rng = random.Random(seed)
+    edges = [(i, i + 1) for i in range(0, 30)]                 # long chain
+    edges += [(50, j) for j in range(51, 60)]                  # star
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(extra)]
+    edges = [(a, b) for a, b in edges if a != b]
+    return spark.createDataFrame([Row(doc_a=a, doc_b=b) for a, b in edges])
+
+
+def test_dup_components_distributed_matches_driver_path(spark):
+    """driver_threshold=0 forces the distributed parquet-spill loop; its
+    labels must equal the driver union-find's on a random graph with a
+    30-hop chain (many propagation rounds)."""
+    pairs = _random_dup_graph(spark)
+    fast = {(r["doc_id"], r["component_id"])
+            for r in corpus.dup_components(pairs).collect()}
+    reg: list = []
+    dist = {(r["doc_id"], r["component_id"])
+            for r in corpus.dup_components(
+                pairs, driver_threshold=0, cache_registry=reg).collect()}
+    assert dist == fast
+    for c in reg:
+        c.unpersist(blocking=True)
+
+
+def test_dup_components_distributed_survives_cache_loss(spark, tmpdir_):
+    """VERDICT r4 item 1 done-criterion: every cached block is dropped
+    after every round's spill commit (simulating executor loss — the old
+    localCheckpoint died here because its blocks had no lineage), and the
+    loop still completes with correct labels because rounds live on
+    reliable storage. Also pins spill-dir cleanup via the registry handle."""
+    import os
+
+    spill = str(tmpdir_.join("ccspill"))
+
+    def nuke_all_cache(sp, _round):
+        sp.catalog.clearCache()
+        jsc_sc = sp.sparkContext._jsc.sc()
+        for i in list(sp.sparkContext._jsc.getPersistentRDDs().keySet()):
+            opt = jsc_sc.persistentRdds().get(int(str(i)))
+            if opt.isDefined():
+                opt.get().unpersist(True)
+
+    pairs = _random_dup_graph(spark)
+    expect = {(r["doc_id"], r["component_id"])
+              for r in corpus.dup_components(pairs).collect()}
+    reg: list = []
+    out = corpus.dup_components(pairs, driver_threshold=0, spill_dir=spill,
+                                cache_registry=reg, _round_hook=nuke_all_cache)
+    assert {(r["doc_id"], r["component_id"]) for r in out.collect()} == expect
+    assert os.path.isdir(spill) and os.listdir(spill)   # spill actually used
+    for c in reg:
+        c.unpersist(blocking=True)
+    # handle removed the run dir; caller-owned spill root remains
+    assert os.listdir(spill) == []
+
+
 def test_dedup_pages_closure_chain(spark, tmpdir_):
     """Curation with closure=True on a simhash chain a~b~c (a≁c): one
     survivor, and c attributes to the SURVIVING a (not the dropped b)."""
