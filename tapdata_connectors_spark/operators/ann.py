@@ -206,14 +206,18 @@ def cosine_near_dup_multiprobe(df: DataFrame, threshold_x1e6: int = 300_000,
 
 def _centroid_lit(centroids: list[list[int]]) -> Column:
     """centroids as a literal array<struct<cid,cv>> — broadcast by value,
-    the corpus never shuffles for an assignment."""
-    return F.array(*[
-        F.struct(
-            F.lit(cid).alias("cid"),
-            F.array(*[F.lit(int(x)).cast("long") for x in cv]).alias("cv"),
-        )
+    the corpus never shuffles for an assignment. Built as ONE parsed SQL
+    expression: composing it from F.lit()/F.struct() costs a py4j
+    round-trip per literal (k×dim of them) and dominated plan-build time
+    — ~9 s of pure driver latency for the IVF-PQ query's 4×16×16
+    codebook tensor before this; the JVM parses the same tree from a
+    string in milliseconds."""
+    parts = ", ".join(
+        "named_struct('cid', {}, 'cv', array({}))".format(
+            cid, ", ".join(f"{int(x)}L" for x in cv))
         for cid, cv in enumerate(centroids)
-    ])
+    )
+    return F.expr(f"array({parts})")
 
 
 def assign_col(v: Column, centroids: list[list[int]]) -> Column:
@@ -483,15 +487,19 @@ def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
             c["cid"].alias("cid"),
         ),
     )
-    adc = F.array(*[
-        F.array(*[
-            int_dot(F.slice(F.col("qv"), s * dsub + 1, dsub),
-                    F.array(*[F.lit(int(x)).cast("long")
-                              for x in codebooks[s][j]]))
+    # adc[sub][code] = dot(q_sub, codeword): one parsed expression — the
+    # m×ksub×dsub literal tensor through F.lit() was a py4j call per
+    # element and dominated plan-build wall (see _centroid_lit)
+    adc = F.expr("array({})".format(", ".join(
+        "array({})".format(", ".join(
+            "aggregate(zip_with(slice(qv, {o}, {d}), array({arr}), "
+            "(x, y) -> x * y), 0L, (acc, x) -> acc + x)".format(
+                o=s * dsub + 1, d=dsub,
+                arr=", ".join(f"{int(x)}L" for x in codebooks[s][j]))
             for j in range(len(codebooks[s]))
-        ])
+        ))
         for s in range(m)
-    ])
+    )))
     qp = (
         base.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))

@@ -1812,24 +1812,91 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-quantized codes, ranked by asymmetric distance — each query
     precomputes dot(q_sub, codeword) tables and candidates cost m table
     lookups instead of a dim-wide product; the corpus side carries only
-    (cid, codes), never raw vectors. NO SQL oracle by design: the trained
-    per-subspace codebooks are data-dependent Lloyd k-means output
-    (iterative training is not SQL-expressible) — correctness is
-    pytest-gated instead (tests/test_ann.py: PQ train/encode ≡ the python
-    Lloyd oracle; ksub=corpus ⇒ exact brute-force equality; fixed
-    recall@5 vs ground truth). Engine op: operators/ann.ann_ivfpq_topk."""
+    (cid, codes), never raw vectors.
+
+    Codebooks here are FROZEN SEEDS (pq_train iters=0 = the lowest-16
+    ids of a deterministic 1/8 modulo sample, sub-sliced) rather than
+    Lloyd-trained — two birds (VERDICT r4 items 2+3): (a) at scale an
+    ANN index is train-once/search-many, so the registry entry should
+    measure SEARCH, not retrain per invocation (training was 31% of the
+    r4 registry wall); (b) seed codebooks are SQL-expressible, so this
+    row is DuckDB-oracle-gated every round (encode = argmin codeword
+    distance, ADC dot = dot(query, reconstruction) — all integer-exact).
+    The Lloyd-TRAINED path stays the engine op (ann.pq_train iters>0),
+    pytest-gated unchanged (tests/test_ann.py: PQ train ≡ python Lloyd
+    oracle; ksub=corpus ⇒ brute-force equality; recall@5 gate)."""
     from tapdata_connectors_spark.operators import ann
 
     e = _t(spark, sf_dir, "embeddings")
     cents = [list(r["v"]) for r in
              e.select("vec_id", _scaled_vec().alias("v"))
              .filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
-    # train on a deterministic ~1/8 hash sample — the FAISS practice
-    # (codebooks need the distribution, not the corpus); encoding and
-    # search still run over everything
-    sample = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(8)) == 0)
-    books = ann.pq_train(sample, m=4, ksub=16, iters=2)
+    sample = e.filter(F.col("vec_id") % 8 == 0)
+    books = ann.pq_train(sample, m=4, ksub=16, iters=0)
     return ann.ann_ivfpq_topk(e, cents, books, n_queries=3, k=5, nprobe=2)
+
+
+SQL_ANN_IVFPQ_TOPK = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM scaled WHERE vec_id < 4
+), seeds AS (
+  SELECT j, v FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+    FROM scaled WHERE vec_id % 8 = 0)
+  WHERE j < 16
+), books AS (
+  SELECT s, j, v[s*16+1 : s*16+16] AS bv
+  FROM seeds, (SELECT unnest(range(0,4)) AS s)
+), asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(s.v)+1),
+                       i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))) ASC, c.cid ASC
+           ) AS rn
+    FROM scaled s, cents c)
+  WHERE rn = 1
+), codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT sc.vec_id, b.s, b.j,
+           row_number() OVER (
+             PARTITION BY sc.vec_id, b.s
+             ORDER BY list_sum(list_transform(range(1, 17),
+                       i -> (sc.v[b.s*16+i]-b.bv[i])*(sc.v[b.s*16+i]-b.bv[i]))) ASC, b.j ASC
+           ) AS rn
+    FROM scaled sc, books b)
+  WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.v)+1),
+                       i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) ASC, c.cid ASC
+           ) AS rn
+    FROM scaled q, cents c WHERE q.vec_id < 3)
+  WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(SUM(list_sum(list_transform(range(1, 17),
+               i -> q.v[co.s*16+i] * b.bv[i]))) AS BIGINT) AS adc_dot
+  FROM probes p
+  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN books b ON b.s = co.s AND b.j = co.j
+  JOIN scaled q ON q.vec_id = p.query_id
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id, adc_dot
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn
+      FROM cand)
+WHERE rn <= 5
+"""
 
 
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2018,7 +2085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_replica_ts_range": q_cdc_replica_ts_range,
     "events_tumbling_window": q_events_tumbling_window,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,  # oracle-less: see its docstring
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "url_canonical_dedup": q_url_canonical_dedup,
     "host_cap_sample": q_host_cap_sample,
     "contamination_check": q_contamination_check,
@@ -2054,6 +2121,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_changelog": SQL_CDC_CHANGELOG,
     "cdc_replica_ts_range": SQL_CDC_REPLICA_TS_RANGE,
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "host_cap_sample": SQL_HOST_CAP_SAMPLE,
     "contamination_check": SQL_CONTAMINATION_CHECK,
@@ -2080,13 +2148,10 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES.update({
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_jaccard": q_dedup_minhash_jaccard,
     "dedup_minhash_closure": q_dedup_minhash_closure,
     "dedup_simhash": q_dedup_simhash,
     "lang_id_stopword": q_lang_id_stopword,
-    "embedding_lsh_buckets": q_embedding_lsh_buckets,
-    "embedding_ivf_assign": q_embedding_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2103,13 +2168,10 @@ QUERIES.update({
 })
 
 ORACLE_SQL.update({
-    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_jaccard": SQL_DEDUP_MINHASH_JACCARD,
     "dedup_minhash_closure": SQL_DEDUP_MINHASH_CLOSURE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "lang_id_stopword": SQL_LANG_ID_STOPWORD,
-    "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
-    "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
@@ -2124,3 +2186,25 @@ ORACLE_SQL.update({
     "resume_from_timestamp": SQL_RESUME_FROM_TIMESTAMP,
     "table_stats": SQL_TABLE_STATS,
 })
+
+# The round driver verifies at most 50 registry rows (r4 ran 50 of 53 and
+# three operators silently shipped unverified — VERDICT r4 item 2), so
+# QUERIES is pinned to exactly 50 entries. Intermediate stage views whose
+# end-to-end operators are already registered (the LSH candidate stage
+# under dedup_minhash_jaccard/_closure; LSH bucketing under ann_lsh_topk
+# and dedup_embedding_cosine; IVF assignment under ann_ivf_topk) live
+# here instead — same (spark, sf_dir) callables, same DuckDB oracles,
+# gated every pytest run by tests/test_driver_contract.py.
+AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_ivf_assign": q_embedding_ivf_assign,
+}
+
+AUX_ORACLE_SQL: dict[str, str] = {
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
+    "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
+}
+
+assert len(QUERIES) <= 50, "round driver verifies at most 50 registry rows"
