@@ -88,6 +88,10 @@ def type_of(name: str) -> T.DataType:
     if name.startswith("decimal"):
         p, s = name[name.find("(") + 1 : name.find(")")].split(",")
         return T.DecimalType(int(p), int(s))
+    # list columns (Iceberg list type analog) — enrichment signatures
+    # (e.g. minhash_sig array<bigint>) store one; arrays never widen
+    if name.startswith("array<") and name.endswith(">"):
+        return T.ArrayType(type_of(name[6:-1]))
     raise ValueError(f"unsupported lake type: {name}")
 
 

@@ -717,6 +717,106 @@ def simhash_band_rows(fp_df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_sig_col(text_col: Column,
+                    cfg: MinHashConfig = MinHashConfig()) -> Column:
+    """corpus.shingle_minhash's signature as a single Column expression
+    (array<bigint>, one element per permutation) — the ingest-time
+    enrichment form (CdcPipeline(enrich=["minhash_sig"])): the signature
+    is computed inside the ingest projection and STORED, which is what
+    makes incremental minhash curation O(delta + column-pruned probe)
+    instead of a full-corpus re-shingle per pass (the hashing runs
+    interpreted inside array lambdas — ~5× slower than the exploded
+    codegen op — but it is paid ONCE per ingested row, not per pass).
+
+    Identical values to shingle_minhash's mh0..mhP columns (parity is
+    pytest-asserted). Docs with no shingles (< shingle_k tokens) yield
+    null (the DataFrame op drops them)."""
+    k = cfg.shingle_k
+    tk = tokens(text_col)
+    n_sh = F.size(tk) - (k - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hs = F.array_distinct(F.transform(
+        idx,
+        lambda i: md5_slice(F.concat_ws(
+            " ", *[F.element_at(tk, i + F.lit(j)) for j in range(k)]
+        )),
+    ))
+    def _perm(p: int):
+        # single-arg lambda factory: F.transform treats a 2-parameter
+        # lambda as (element, index), so a `p=p` default-arg capture would
+        # bind the array INDEX to p — a closure keeps the permutation id
+        return lambda h: md5_slice(F.concat(F.lit(f"{p}|"), h.cast("string")))
+
+    sig = F.array(*[
+        F.array_min(F.transform(hs, _perm(p)))
+        for p in range(cfg.n_perms)
+    ])
+    return F.when(n_sh >= 1, sig).otherwise(
+        F.lit(None).cast("array<bigint>")
+    )
+
+
+def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
+                      sig_col: str = "minhash_sig",
+                      cfg: MinHashConfig = MinHashConfig()) -> DataFrame:
+    """(id, band, sig): LSH band rows from a STORED signature column —
+    same band strings as band_rows builds from the mh columns, so a
+    stored-signature probe buckets identically to the full pass. Null
+    signatures (empty docs) are dropped."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[
+                F.element_at(F.col(sig_col),
+                             b * cfg.rows_per_band + r + 1).cast("string")
+                for r in range(cfg.rows_per_band)
+            ]).alias("sig"),
+        )
+        for b in range(cfg.bands)
+    ])
+    return (
+        df.filter(F.col(sig_col).isNotNull())
+        .withColumn("bs", F.explode(bands))
+        .select(F.col(id_col), F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
+    )
+
+
+def text_embed_col(text_col: Column, dim: int = 8) -> Column:
+    """Deterministic hashed random-projection bag-of-words embedding
+    (array<double>, components in [-1, 1]): component i sums an
+    md5-derived weight in [-1000, 1000] per token, normalized by
+    1000·|tokens|. A real featurization (random projection of the BoW
+    vector — cosine over it reflects token-multiset overlap), used where
+    a model embedding would plug in at deployment: the sandbox has no
+    model runtime, and every piece of the surrounding machinery (bucket
+    enrichment at ingest, LSH candidate join, exact-cosine verify,
+    incremental probe) is independent of WHICH embedding function fills
+    the column. Empty docs yield null."""
+    tk = tokens(text_col)
+
+    def w(t: Column, i: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("emb"), i.cast("string"),
+                               F.lit("_"), t)), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(2001),
+        ) - F.lit(1000)
+
+    zero = F.lit(0).cast("long")
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(tk, zero, lambda acc, t: acc + w(t, i))
+        .cast("double") / (F.lit(1000.0) * F.size(tk)),
+    )
+    return F.when(F.size(tk) > 0, comps).otherwise(
+        F.lit(None).cast("array<double>")
+    )
+
+
 def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", bits: int = 60,
                      n_bands: int = 4, max_hamming: int = 3,

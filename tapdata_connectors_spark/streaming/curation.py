@@ -43,6 +43,12 @@ from tapdata_connectors_spark.schema import SEQ_COL, TOMBSTONE_COL
 # lineage epoch tag for curation commits — far above any source epoch
 CURATION_EPOCH = 1 << 20
 
+# embedding near-dup knobs shared by the full pass and the incremental
+# probe (they MUST match — the stored embed_bucket enrichment is the
+# full pass's bucket function evaluated at ingest)
+EMBED_THRESHOLD_X1E6 = 300_000
+EMBED_N_PLANES = 4
+
 
 def find_dup_pages(pipe, method: str = "exact",
                    cfg: corpus.MinHashConfig | None = None,
@@ -79,7 +85,30 @@ def find_dup_pages(pipe, method: str = "exact",
             live, id_col=key, text_col=text_name, closure=closure,
             cache_registry=cache_registry, spill_dir=spill,
         )
-    raise ValueError(f"unknown dedup method {method!r} (exact|minhash|simhash)")
+    if method == "embedding":
+        # embedding-cosine near-dup over the deterministic text embedding
+        # (corpus.text_embed_col — the slot a model embedding fills at
+        # deployment): LSH-bucketed candidates + exact cosine verify
+        from tapdata_connectors_spark.operators import ann
+
+        emb = live.select(
+            F.col(key), corpus.text_embed_col(F.col(text_name)).alias("_emb")
+        ).filter(F.col("_emb").isNotNull())
+        pairs = ann.cosine_near_dup(emb, threshold_x1e6=EMBED_THRESHOLD_X1E6,
+                                    n_planes=EMBED_N_PLANES,
+                                    id_col=key, vec_col="_emb")
+        if closure:
+            return corpus.component_losers(
+                pairs, id_col=key, a_col="vec_a", b_col="vec_b",
+                cache_registry=cache_registry, spill_dir=spill,
+            )
+        return (
+            pairs.groupBy("vec_b").agg(F.min("vec_a").alias("survivor_id"))
+            .select(F.col("vec_b").alias(key), "survivor_id")
+        )
+    raise ValueError(
+        f"unknown dedup method {method!r} (exact|minhash|simhash|embedding)"
+    )
 
 
 def find_new_dup_pages(pipe, since_version: int,
@@ -227,53 +256,164 @@ def _find_new_losers(pipe, since_version: int, method: str,
             .select(F.col(key), F.col("w.k").alias("survivor_id"))
         )
 
-    # method == "simhash": banded Hamming of touched fingerprints against
-    # the STORED simhash enrichment column (column-pruned scan — the
-    # fingerprint was paid once at ingest; recomputing per pass is the
-    # full pass's job). One-sweep min-neighbor survivorship, incumbents
-    # first: a new page loses to its minimum qualified neighbor
-    # (any incumbent, or a smaller-key new page) within max_hamming.
-    sh_name = _enrich_col_name(pipe, "simhash")
-    if sh_name is None:
-        raise ValueError(
-            "incremental simhash dedup needs the stored fingerprint: "
-            "create the pipeline with enrich=[\"simhash\"]"
+    def _incumbent_first_losers(verified: DataFrame) -> DataFrame:
+        """One-sweep survivorship over verified (_a new, _b, b_new)
+        pairs, incumbents first: a new page loses to its minimum
+        QUALIFIED neighbor — any incumbent, or a smaller-key new page —
+        so an incremental pass never tombstones an untouched page."""
+        q = verified.filter((~F.col("b_new")) | (F.col("_b") < F.col("_a")))
+        return (
+            q.groupBy("_a").agg(
+                F.min(F.struct(F.col("b_new").cast("int").alias("o"),
+                               F.col("_b").alias("k"))).alias("w")
+            )
+            .select(F.col("_a").alias(key), F.col("w.k").alias("survivor_id"))
         )
-    fps = live.select(F.col(key), F.col(sh_name).alias("simhash")).join(
-        flag, key, "left"
-    ).withColumn("_new", F.coalesce(F.col("_new"), F.lit(False)))
-    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
-    if cache_registry is not None:
-        cache_registry.append(fps)
-    bands_all = corpus.simhash_band_rows(
-        fps, id_col=key, bits=bits, n_bands=n_bands
-    )
-    bands_new = corpus.simhash_band_rows(
-        fps.filter(F.col("_new")), id_col=key, bits=bits, n_bands=n_bands
-    )
+
+    def _flagged(cols: dict) -> DataFrame:
+        """live (key + renamed enrichment cols) with the _new flag,
+        persisted and registered — the skinny probe frame every
+        incremental method buckets on (column-pruned scan: the
+        enrichment was paid once at ingest; recomputing per pass is the
+        full pass's job)."""
+        d = live.select(
+            F.col(key), *[F.col(src).alias(dst) for src, dst in cols.items()]
+        ).join(flag, key, "left").withColumn(
+            "_new", F.coalesce(F.col("_new"), F.lit(False))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(d)
+        return d
+
+    if method == "simhash":
+        # banded Hamming of touched fingerprints vs the STORED simhash
+        sh_name = _enrich_col_name(pipe, "simhash")
+        if sh_name is None:
+            raise ValueError(
+                "incremental simhash dedup needs the stored fingerprint: "
+                "create the pipeline with enrich=[\"simhash\"]"
+            )
+        fps = _flagged({sh_name: "simhash"})
+        bands_all = corpus.simhash_band_rows(
+            fps, id_col=key, bits=bits, n_bands=n_bands
+        )
+        bands_new = corpus.simhash_band_rows(
+            fps.filter(F.col("_new")), id_col=key, bits=bits, n_bands=n_bands
+        )
+        cand = (
+            bands_new.select(F.col(key).alias("_a"), "band", "bv")
+            .join(bands_all.select(F.col(key).alias("_b"), "band", "bv"),
+                  ["band", "bv"])
+            .filter(F.col("_a") != F.col("_b"))
+            .select("_a", "_b").distinct()
+        )
+        fa = fps.select(F.col(key).alias("_a"), F.col("simhash").alias("sh_a"))
+        fb = fps.select(F.col(key).alias("_b"), F.col("simhash").alias("sh_b"),
+                        F.col("_new").alias("b_new"))
+        verified = (
+            cand.join(fa, "_a").join(fb, "_b")
+            .filter(F.expr("bit_count(sh_a ^ sh_b)") <= max_hamming)
+        )
+        return _incumbent_first_losers(verified)
+
+    if method == "minhash":
+        # LSH bands of touched signatures vs the STORED minhash_sig
+        # enrichment; exact-Jaccard verify re-shingles ONLY the pages
+        # that appear in a candidate pair (semi-joined text read — the
+        # probe cost is ∝ candidates, never the corpus)
+        cfg = corpus.MinHashConfig()
+        sig_name = _enrich_col_name(pipe, "minhash_sig")
+        if sig_name is None:
+            raise ValueError(
+                "incremental minhash dedup needs the stored signature: "
+                "create the pipeline with enrich=[\"minhash_sig\"]"
+            )
+        sigs = _flagged({sig_name: "minhash_sig"})
+        bands_all = corpus.minhash_band_rows(sigs, id_col=key, cfg=cfg)
+        bands_new = corpus.minhash_band_rows(
+            sigs.filter(F.col("_new")), id_col=key, cfg=cfg
+        )
+        cand = (
+            bands_new.select(F.col(key).alias("_a"), "band", "sig")
+            .join(bands_all.select(F.col(key).alias("_b"), "band", "sig"),
+                  ["band", "sig"])
+            .filter(F.col("_a") != F.col("_b"))
+            .select("_a", "_b").distinct()
+        )
+        ckeys = (
+            cand.select(F.col("_a").alias(key))
+            .union(cand.select(F.col("_b").alias(key))).distinct()
+        )
+        docsh = corpus.shingle_minhash(
+            live.join(ckeys, key, "left_semi"), cfg,
+            id_col=key, text_col=text_name,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(docsh)
+        sa = docsh.select(F.col("doc_id").alias("_a"),
+                          F.col("sh").alias("sha"), F.col("n").alias("na"))
+        sb = docsh.select(F.col("doc_id").alias("_b"),
+                          F.col("sh").alias("shb"), F.col("n").alias("nb"))
+        bn = sigs.select(F.col(key).alias("_b"), F.col("_new").alias("b_new"))
+        inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
+        verified = (
+            cand.join(sa, "_a").join(sb, "_b").join(bn, "_b")
+            .withColumn("_i", inter)
+            .withColumn("_u", (F.col("na") + F.col("nb") - F.col("_i")).cast("long"))
+            .filter(F.col("_i") * cfg.jaccard_den >= F.col("_u") * cfg.jaccard_num)
+        )
+        return _incumbent_first_losers(verified)
+
+    if method != "embedding":
+        raise ValueError(f"unknown incremental dedup method {method!r}")
+
+    # method == "embedding": bucket-mates of touched pages via the STORED
+    # embed_bucket enrichment; exact-cosine verify recomputes embeddings
+    # ONLY for pages in a candidate pair (same formula and knobs as the
+    # full pass's ann.cosine_near_dup — EMBED_* constants)
+    from tapdata_connectors_spark.operators import ann
+
+    bk_name = _enrich_col_name(pipe, "embed_bucket")
+    if bk_name is None:
+        raise ValueError(
+            "incremental embedding dedup needs the stored bucket: "
+            "create the pipeline with enrich=[\"embed_bucket\"]"
+        )
+    bks = _flagged({bk_name: "_bk"})
     cand = (
-        bands_new.select(F.col(key).alias("_a"), "band", "bv")
-        .join(bands_all.select(F.col(key).alias("_b"), "band", "bv"),
-              ["band", "bv"])
+        bks.filter(F.col("_new")).select(F.col(key).alias("_a"), "_bk")
+        .join(bks.select(F.col(key).alias("_b"), "_bk"), "_bk")
         .filter(F.col("_a") != F.col("_b"))
         .select("_a", "_b").distinct()
     )
-    fa = fps.select(F.col(key).alias("_a"), F.col("simhash").alias("sh_a"))
-    fb = fps.select(F.col(key).alias("_b"), F.col("simhash").alias("sh_b"),
-                    F.col("_new").alias("b_new"))
+    ckeys = (
+        cand.select(F.col("_a").alias(key))
+        .union(cand.select(F.col("_b").alias(key))).distinct()
+    )
+    embs = (
+        live.join(ckeys, key, "left_semi")
+        .select(F.col(key).alias("_k"),
+                ann.scaled_vec(corpus.text_embed_col(F.col(text_name))).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_n", ann.int_dot(F.col("_v"), F.col("_v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_registry is not None:
+        cache_registry.append(embs)
+    ea = embs.select(F.col("_k").alias("_a"), F.col("_v").alias("va"),
+                     F.col("_n").alias("na"))
+    eb = embs.select(F.col("_k").alias("_b"), F.col("_v").alias("vb"),
+                     F.col("_n").alias("nb"))
+    bn = bks.select(F.col(key).alias("_b"), F.col("_new").alias("b_new"))
+    cos = ann.int_dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
     verified = (
-        cand.join(fa, "_a").join(fb, "_b")
-        .filter(F.expr("bit_count(sh_a ^ sh_b)") <= max_hamming)
-        # qualified neighbor: an incumbent, or a smaller-key new page
-        .filter((~F.col("b_new")) | (F.col("_b") < F.col("_a")))
+        cand.join(ea, "_a").join(eb, "_b").join(bn, "_b")
+        .withColumn("cos_x1e6", F.floor(cos * 1000000.0).cast("long"))
+        .filter(F.col("cos_x1e6") >= EMBED_THRESHOLD_X1E6)
     )
-    return (
-        verified.groupBy("_a").agg(
-            F.min(F.struct(F.col("b_new").cast("int").alias("o"),
-                           F.col("_b").alias("k"))).alias("w")
-        )
-        .select(F.col("_a").alias(key), F.col("w.k").alias("survivor_id"))
-    )
+    return _incumbent_first_losers(verified)
 
 
 def dedup_pages(pipe, method: str = "exact",
@@ -292,18 +432,21 @@ def dedup_pages(pipe, method: str = "exact",
     finally), so a long-lived curation session holds no cached RDDs
     between passes.
 
-    `since_version` switches to the INCREMENTAL pass (method="exact"
-    only): candidates come from the manifest diff and incumbents always
-    survive — see find_new_dup_pages. The epoch_key carries the version
-    so per-epoch incremental passes don't collide.
+    `since_version` switches to the INCREMENTAL pass: candidates come
+    from the manifest diff and incumbents always survive — see
+    find_new_dup_pages. Every method is covered: exact probes the stored
+    md5 fingerprint, simhash the stored simhash, minhash the stored
+    LSH signature (exact-Jaccard verify re-shingles candidates only),
+    embedding the stored LSH bucket (exact-cosine verify re-embeds
+    candidates only). The epoch_key carries the version so per-epoch
+    incremental passes don't collide.
     """
     t0 = time.time()
     t = pipe.init_table()
-    if since_version is not None and method not in ("exact", "simhash"):
+    if method not in ("exact", "simhash", "minhash", "embedding"):
         raise ValueError(
-            "incremental dedup (since_version) supports method='exact' "
-            "(stored md5 fingerprint) and 'simhash' (stored simhash "
-            "enrichment) — minhash needs the full candidate pass"
+            f"unknown dedup method {method!r} "
+            "(exact|minhash|simhash|embedding)"
         )
     epoch_key = (f"curation:{method}:since{since_version}:{tag}"
                  if since_version is not None else f"curation:{method}:{tag}")

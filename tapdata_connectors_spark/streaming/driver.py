@@ -81,12 +81,31 @@ def _enrich_simhash(c):
     return corpus.simhash_col(c)
 
 
+def _enrich_minhash_sig(c):
+    from tapdata_connectors_spark.operators import corpus
+
+    return corpus.minhash_sig_col(c)
+
+
+def _enrich_embed_bucket(c):
+    # LSH bucket of the text embedding (operators/ann.hyperplane_bucket
+    # over the deterministic hashed projection — swap text_embed_col for
+    # a model embedding at deployment; the bucket math is unchanged)
+    from tapdata_connectors_spark.operators import ann, corpus
+
+    return ann.hyperplane_bucket(
+        ann.scaled_vec(corpus.text_embed_col(c)), n_planes=4
+    )
+
+
 # name -> (column builder over the extracted text, stored column type)
 ENRICHMENTS = {
     "fingerprint": (_enrich_fingerprint, "string"),
     "pred_lang": (_enrich_pred_lang, "string"),
     "quality_keep": (_enrich_quality_keep, "boolean"),
     "simhash": (_enrich_simhash, "bigint"),
+    "minhash_sig": (_enrich_minhash_sig, "array<bigint>"),
+    "embed_bucket": (_enrich_embed_bucket, "bigint"),
 }
 
 
