@@ -1548,7 +1548,10 @@ def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DC-only and the quant table is all-8s, making the round-trip
     bit-EXACT (DC = 8·(level−128) is divisible by 8), so the DuckDB
     oracle can state the expected metadata in closed form. Both stages
-    are map-only Arrow-batched mapInPandas."""
+    are map-only Arrow-batched mapInPandas. Every third document encodes
+    with a restart interval (DRI + RSTn markers), so the decoder's
+    restart-resync path rides this oracle gate every round — markers
+    change the bitstream layout, never the pixels."""
     import numpy as np
     import pandas as pd
 
@@ -1567,7 +1570,9 @@ def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for q, k in enumerate((1, 7, 13, 31)):
                     by, bx = divmod(q, 2)
                     img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (nb * k) % 256
-                rows.append((int(i), encode_jpeg([img], qt=qt)))
+                rows.append((int(i), encode_jpeg(
+                    [img], qt=qt,
+                    restart_interval=(1 if int(i) % 3 == 0 else 0))))
             yield pd.DataFrame(rows, columns=["id", "img"])
 
     imgs = docs.mapInPandas(enc, "id long, img binary")

@@ -120,6 +120,12 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    # the continuity side-output ran and every epoch is gap-free
+    # (VERDICT r4 item 7: liveness is load-bearing in the flagship path)
+    latest = entrymod.LAST_CONTINUITY
+    assert latest, "flagship did not run the continuity monitor"
+    assert all(r["missing"] == 0 for r in latest.values())
+    assert all(r["n_events"] > 0 for r in latest.values())
     # deterministic across invocations
     df2 = entrymod.entry(spark)
     assert df2.count() == n

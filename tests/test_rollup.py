@@ -108,6 +108,99 @@ def test_rollup_with_sums_across_ddl(spark, tmpdir_):
     assert any(sv != 0 for _, sv in got.values())
 
 
+def test_rollup_min_max_with_retracted_extremes(spark, tmpdir_):
+    """min/max rollup columns: inserts fold algebraically; deletes and
+    updates that retract a group's current extreme trigger the
+    affected-group recompute fallback — stored state equals a full
+    recompute after EVERY refresh, across heavy churn, and at least one
+    refresh actually exercised the recompute path."""
+    from tapdata_connectors_spark.sources.generator import DdlSpec
+
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=2, merge_mode="cow")
+    ev = generate_events(spark, GeneratorConfig(
+        n_events=900, n_urls=100, epoch_size=300,
+        p_update=0.45, p_delete=0.25,
+        ddl=(DdlSpec(seq=1, kind="ADD_COLUMN", column="views",
+                     new_type="int"),),
+        extras_cols=(("views", 1, "int"),),
+    ))
+    dst = create_rollup_table(spark, f"{tmpdir_}/rollup", ("lang", "string"),
+                              min_cols=["views"], max_cols=["views"])
+    recomputed_total = 0
+    for e in range(3):
+        pipe.apply_epoch(ev.filter(F.col("epoch") == e), e)
+        res = refresh_rollup(pipe.table, dst, "lang",
+                             min_cols=["views"], max_cols=["views"])
+        assert not res["skipped"]
+        recomputed_total += res["recomputed_groups"]
+        t = pipe.table.read()
+        want = {
+            r["g"]: (r["n"], r["mn"], r["mx"])
+            for r in t.groupBy(
+                F.coalesce(F.col("lang").cast("string"),
+                           F.lit("__null__")).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col("views").cast("bigint")).alias("mn"),
+                 F.max(F.col("views").cast("bigint")).alias("mx"))
+            .collect()
+        }
+        got = {r["lang"]: (r["n"], r["min_views"], r["max_views"])
+               for r in dst.read().collect()}
+        assert got == want, f"epoch {e}"
+    # the fallback really ran: with 25% deletes + 45% updates over 3
+    # epochs some group's extreme was retracted
+    assert recomputed_total > 0
+
+
+def test_rollup_min_insert_only_skips_recompute(spark, tmpdir_):
+    """The common refresh — inserts only, nothing retracted — must never
+    touch the source: recomputed_groups == 0 (the O(delta + |groups|)
+    fast path), while a subsequent delete OF the minimum forces exactly
+    that group through the fallback."""
+    import datetime
+
+    from tapdata_connectors_spark.sources.generator import DdlSpec
+
+    pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
+                       n_buckets=2, merge_mode="cow")
+    ev = generate_events(spark, GeneratorConfig(
+        n_events=200, n_urls=60, epoch_size=200, p_update=0.0, p_delete=0.0,
+        ddl=(DdlSpec(seq=1, kind="ADD_COLUMN", column="views",
+                     new_type="int"),),
+        extras_cols=(("views", 1, "int"),),
+    ))
+    dst = create_rollup_table(spark, f"{tmpdir_}/rollup", ("lang", "string"),
+                              min_cols=["views"])
+    pipe.apply_epoch(ev.filter(F.col("epoch") == 0), 0)
+    res = refresh_rollup(pipe.table, dst, "lang", min_cols=["views"])
+    assert res["recomputed_groups"] == 0
+    # delete the row holding some group's minimum
+    t = pipe.table.read()
+    victim = (
+        t.filter(F.col("views").isNotNull())
+        .orderBy(F.col("views").cast("bigint").asc(), F.col("url").asc())
+        .select("url", "lang").limit(1).collect()[0]
+    )
+    del_ev = spark.createDataFrame(
+        [(500, 1, "D", victim["url"],
+          datetime.datetime(2024, 6, 1), None, None, None, None, None,
+          None, 1_720_000_000_000)], ev.schema)
+    pipe.apply_epoch(del_ev, 1)
+    res2 = refresh_rollup(pipe.table, dst, "lang", min_cols=["views"])
+    assert res2["recomputed_groups"] >= 1
+    want = {
+        r["g"]: (r["n"], r["mn"])
+        for r in pipe.table.read().groupBy(
+            F.coalesce(F.col("lang").cast("string"),
+                       F.lit("__null__")).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(F.col("views").cast("bigint")).alias("mn")).collect()
+    }
+    got = {r["lang"]: (r["n"], r["min_views"]) for r in dst.read().collect()}
+    assert got == want
+
+
 def test_rollup_refresh_idempotent_and_skips_when_current(spark, tmpdir_):
     pipe = CdcPipeline(spark, f"{tmpdir_}/pages", f"{tmpdir_}/staging",
                        n_buckets=2, merge_mode="mor", compact_every=99)
