@@ -528,3 +528,82 @@ def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 F.col("vec_id").alias("neighbor_id"), "adc_dot")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index artifacts: train ONCE, search MANY.
+# At corpus scale an ANN index is an offline artifact refreshed on its own
+# cadence (FAISS writes index files; Milvus/Vespa persist segments) — the
+# searcher must never pay training. The artifact here is deliberately tiny
+# (coarse centroids k×dim ints + PQ codebooks m×ksub×dsub ints ≈ a few KB
+# of JSON) because the corpus-side state (cid, codes) is recomputed map-only
+# from the broadcast artifact — re-encoding 10^10 vectors is one scan with
+# zero shuffles, while SHIPPING stored codes would be another table to keep
+# transactionally consistent with the corpus. JSON on the same FS family as
+# the lake (file:// / hdfs:// / s3a://), written atomically via tmp+rename.
+# ---------------------------------------------------------------------------
+
+
+def save_ann_index(spark, path: str, index: dict) -> None:
+    """Persist an index artifact dict as JSON (atomic replace)."""
+    import json
+
+    from tapdata_connectors_spark.lake.fs import make_fs
+
+    fs = make_fs(spark, path)
+    fs.mkdirs(fs.root)
+    tmp = fs.join("index.json.tmp")
+    fs.write_text(tmp, json.dumps(index, sort_keys=True))
+    fs.replace(tmp, fs.join("index.json"))
+
+
+def load_ann_index(spark, path: str) -> dict:
+    import json
+
+    from tapdata_connectors_spark.lake.fs import make_fs
+
+    fs = make_fs(spark, path)
+    return json.loads(fs.read_text(fs.join("index.json")))
+
+
+def build_ivfpq_index(df: DataFrame, path: str, k: int = 4, m: int = 4,
+                      ksub: int = 16, coarse_iters: int = 5,
+                      pq_iters: int = 4, sample_mod: int = 8,
+                      src_version: int | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      ) -> dict:
+    """Train a full IVF-PQ index (Lloyd coarse quantizer + Lloyd PQ
+    codebooks on a deterministic 1/sample_mod modulo sample) and persist
+    it at `path`. `src_version` records which corpus snapshot the index
+    was trained against — searchers can compare it to the table's current
+    version and decide staleness on their own refresh policy (an ANN
+    index tolerates staleness by design; recall degrades gradually as the
+    corpus drifts, it never returns wrong distances because search
+    re-encodes the CURRENT corpus against the artifact)."""
+    sample = df.filter((F.col(id_col) % sample_mod) == 0)
+    index = {
+        "kind": "ivfpq",
+        "params": {"k": k, "m": m, "ksub": ksub,
+                   "coarse_iters": coarse_iters, "pq_iters": pq_iters,
+                   "sample_mod": sample_mod},
+        "src_version": src_version,
+        "centroids": ivf_train(df, k=k, iters=coarse_iters,
+                               id_col=id_col, vec_col=vec_col),
+        "codebooks": pq_train(sample, m=m, ksub=ksub, iters=pq_iters,
+                              id_col=id_col, vec_col=vec_col),
+    }
+    save_ann_index(df.sparkSession, path, index)
+    return index
+
+
+def ann_ivfpq_topk_indexed(df: DataFrame, index: dict, n_queries: int = 3,
+                           k: int = 5, nprobe: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search against a persisted artifact (load_ann_index) —
+    the search-many half; identical plan to ann_ivfpq_topk."""
+    if index.get("kind") != "ivfpq":
+        raise ValueError(f"not an ivfpq index: {index.get('kind')!r}")
+    return ann_ivfpq_topk(df, index["centroids"], index["codebooks"],
+                          n_queries=n_queries, k=k, nprobe=nprobe,
+                          id_col=id_col, vec_col=vec_col)

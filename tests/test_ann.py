@@ -349,3 +349,38 @@ def test_ivfpq_recall_vs_brute_force(spark):
         hits += len(brute & mine)
         total += 5
     assert hits / total >= 0.6, (hits, total)
+
+
+# ---------------------------------------------------------------------------
+# persisted index artifacts (ann.build_ivfpq_index / ann_ivfpq_topk_indexed)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_persist_roundtrip(spark, tmpdir_):
+    """Train-once/search-many: a persisted IVF-PQ artifact reloads
+    byte-identically (JSON of exact ints), searches identically to the
+    in-memory artifacts, records its source version for staleness
+    policy, and rebuilding replaces it atomically."""
+    import os
+
+    import pytest
+
+    vecs = _vecs(40, seed=33)
+    df = _df(spark, vecs)
+    path = os.path.join(tmpdir_, "annidx")
+    idx = ann.build_ivfpq_index(df, path, k=3, m=2, ksub=8,
+                                coarse_iters=2, pq_iters=2, sample_mod=1,
+                                src_version=7)
+    loaded = ann.load_ann_index(spark, path)
+    assert loaded == idx and loaded["src_version"] == 7
+    direct = sorted(map(tuple, ann.ann_ivfpq_topk(
+        df, idx["centroids"], idx["codebooks"],
+        n_queries=2, k=4, nprobe=2).collect()))
+    via = sorted(map(tuple, ann.ann_ivfpq_topk_indexed(
+        df, loaded, n_queries=2, k=4, nprobe=2).collect()))
+    assert via == direct and len(via) == 8
+    ann.build_ivfpq_index(df, path, k=3, m=3, ksub=8, coarse_iters=1,
+                          pq_iters=1, sample_mod=1, src_version=9)
+    assert ann.load_ann_index(spark, path)["src_version"] == 9
+    with pytest.raises(ValueError, match="ivfpq"):
+        ann.ann_ivfpq_topk_indexed(df, {"kind": "flat"})
