@@ -1,5 +1,5 @@
-"""Baseline JPEG (ITU T.81) decode — and a minimal encoder for fixtures —
-in pure numpy/stdlib, no codec library.
+"""JPEG (ITU T.81) decode — baseline AND progressive — plus a minimal
+encoder for fixtures, in pure numpy/stdlib, no codec library.
 
 Closes the round-3 "JPEG genuinely needs a codec library" gate
 (VERDICT r3 "what's missing" #3) the same way r3 closed PNG/WAV: the
@@ -13,19 +13,27 @@ cannot be skipped), then discarded.
 
 Supported: baseline sequential DCT (SOF0), 8-bit, grayscale or
 interleaved color with any sampling factors (4:4:4 / 4:2:0 / 4:2:2),
-restart markers (DRI/RSTn). Rejected with NotImplementedError:
-progressive (SOF2) and the other rare SOF types — a real corpus routes
-those to a GPU/codec tier; the error names the reason.
+restart markers (DRI/RSTn), and PROGRESSIVE DCT (SOF2, round 5 — the
+other half of real web JPEGs): spectral-selection bands, DC/AC
+successive-approximation first and refinement passes, interleaved DC
+scans, EOB runs, all accumulated into per-component coefficient planes
+and reconstructed once at EOI. Rejected with NotImplementedError: the
+rare SOF types (lossless, arithmetic-coded, hierarchical) — a real
+corpus routes those to a GPU/codec tier; the error names the reason.
 
 Determinism: the IDCT is float64 with a fixed operation order
 (matmul A @ X @ A.T), so identical bytes decode to identical pixels on
 every platform; everything else is integer.
 
-The encoder exists for round-trip fixtures (this container has no JPEG
+The encoders exist for round-trip fixtures (this container has no JPEG
 writer either): grayscale or 4:4:4 color, one shared quantization table,
 canonical Huffman tables with all-8-bit code lengths (valid per T.81 —
 the decoder must read tables from DHT, so fixtures do not depend on the
-Annex K defaults being transcribed correctly).
+Annex K defaults being transcribed correctly). encode_jpeg_progressive
+emits a libjpeg-style scan script (interleaved DC + two successive-
+approximation levels per spectral band) and must reconstruct pixels
+IDENTICAL to the baseline encoding of the same image — the coefficient
+planes are equal by construction, so any decode divergence is a bug.
 
 Scale note: decode runs inside mapInPandas Arrow batches (see
 multimodal.py) — map-only, bytes never leave the task. Per-row Python
@@ -146,8 +154,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_luma(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG; returns the Y (luma) plane cropped to the
-    frame size as np.uint8 (h, w). See module docstring for coverage."""
+    """Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG; returns the
+    Y (luma) plane cropped to the frame size as np.uint8 (h, w). See
+    module docstring for coverage. Progressive decode accumulates every
+    scan — spectral selection bands, DC/AC successive-approximation
+    first and refinement passes, interleaved DC scans, EOB runs — into
+    per-component coefficient planes and reconstructs once at EOI."""
     data = bytes(data)
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG blob")
@@ -156,11 +168,15 @@ def decode_jpeg_luma(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     restart_interval = 0
     frame = None  # (h, w, comps) comps: list of (cid, hi, vi, tq)
+    progressive = False
+    coef: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) int32
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (ln,) = struct.unpack(">H", data[pos:pos + 2])
@@ -184,7 +200,7 @@ def decode_jpeg_luma(data: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(tc, th)] = _build_huffman(counts, seg[p + 17:p + 17 + n])
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes here")
@@ -193,27 +209,37 @@ def decode_jpeg_luma(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) decodes here "
-                f"(got SOF marker 0xFF{marker:02X}"
-                + (" — progressive" if marker == 0xC2 else "") + ")"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"decode here (got SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(
-                data, pos + ln, frame, scan, qts, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos + ln, frame, scan, qts, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                data, pos + ln, frame, scan, huff, restart_interval,
+                coef, ss, se, ahal >> 4, ahal & 15,
             )
+            continue
         pos += ln
+    if progressive and coef:
+        return _reconstruct_luma(frame, coef, qts)
     raise ValueError("JPEG had no SOS scan")
 
 
@@ -286,6 +312,186 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
     # crop the luma plane to frame size (Y is full resolution when its
     # sampling factors equal the maxima — the universal baseline layout)
     return luma[: h * y_vi // vmax, : w * y_hi // hmax][:h, :w]
+
+
+def _frame_geom(frame):
+    """(hmax, vmax, mcux, mcuy, {cid: (hi, vi, tq, nbx, nby, fbx, fby)})
+    — nbx/nby are the component's raster block dims (non-interleaved
+    scans), fbx/fby the MCU-padded dims (array allocation)."""
+    h, w, comps = frame
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = {}
+    for cid, hi, vi, tq in comps:
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        geom[cid] = (hi, vi, tq, -(-cw // 8), -(-ch // 8),
+                     mcux * hi, mcuy * vi)
+    return hmax, vmax, mcux, mcuy, geom
+
+
+def _progressive_scan(data, pos, frame, scan, huff, restart_interval,
+                      coef, ss, se, ah, al) -> int:
+    """Decode ONE progressive scan (T.81 §G.2) into the persistent
+    per-component coefficient planes; returns the position of the next
+    marker. Handles interleaved DC scans, non-interleaved spectral
+    bands, DC/AC successive-approximation first and refinement passes,
+    EOB runs, and restart markers (state reset per interval)."""
+    _hmax, _vmax, mcux, mcuy, geom = _frame_geom(frame)
+    for cid in geom:
+        if cid not in coef:
+            _hi, _vi, _tq, _nbx, _nby, fbx, fby = geom[cid]
+            coef[cid] = np.zeros((fby, fbx, 64), dtype=np.int32)
+
+    r = _BitReader(data, pos)
+    state = {"pred": {cs: 0 for cs, _, _ in scan}, "eobrun": 0}
+    p1 = 1 << al
+
+    def dc_first(cs, td, b):
+        t = _huff_decode(r, huff[(0, td)])
+        state["pred"][cs] += _extend(r.read(t), t)
+        b[0] = state["pred"][cs] << al
+
+    def dc_refine(b):
+        if r.read(1):
+            b[0] = int(b[0]) | p1
+
+    def ac_first(ta, b):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, huff[(1, ta)])
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.read(rr)
+                return
+            k += rr
+            b[k] = _extend(r.read(s), s) << al
+            k += 1
+
+    def _correct(b, k):
+        # refinement correction bit on an already-significant coefficient
+        if r.read(1) and (int(b[k]) & p1) == 0:
+            b[k] += p1 if b[k] > 0 else -p1
+
+    def ac_refine(ta, b):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(r, huff[(1, ta)])
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr < 15:
+                        state["eobrun"] = (1 << rr)
+                        if rr:
+                            state["eobrun"] += r.read(rr)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    val = p1 if r.read(1) else -p1
+                while k <= se:
+                    if b[k] != 0:
+                        _correct(b, k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    b[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if b[k] != 0:
+                    _correct(b, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_block(cs, td, ta, b):
+        if ss == 0 and se == 0:
+            dc_first(cs, td, b) if ah == 0 else dc_refine(b)
+        else:
+            ac_first(ta, b) if ah == 0 else ac_refine(ta, b)
+
+    if len(scan) > 1:
+        if ss != 0 or se != 0:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        units = mcux * mcuy
+    else:
+        cs0 = scan[0][0]
+        units = geom[cs0][3] * geom[cs0][4]  # nbx * nby raster blocks
+
+    unit = 0
+    while unit < units:
+        try:
+            if len(scan) > 1:
+                my, mx = divmod(unit, mcux)
+                for cs, td, ta in scan:
+                    hi, vi = geom[cs][0], geom[cs][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            decode_block(
+                                cs, td, ta,
+                                coef[cs][my * vi + by, mx * hi + bx],
+                            )
+            else:
+                cs, td, ta = scan[0]
+                nbx = geom[cs][3]
+                by, bx = divmod(unit, nbx)
+                decode_block(cs, td, ta, coef[cs][by, bx])
+            unit += 1
+            if (restart_interval and unit % restart_interval == 0
+                    and unit < units):
+                m = r.align_to_marker()
+                if not 0xFFD0 <= m <= 0xFFD7:
+                    raise ValueError(f"expected RST marker, got {m:04X}")
+                state["pred"] = {c: 0 for c, _, _ in scan}
+                state["eobrun"] = 0
+        except _MarkerHit as e:
+            if 0xFFD0 <= e.marker <= 0xFFD7:
+                r.bits = 0
+                r.nbits = 0
+                state["pred"] = {c: 0 for c, _, _ in scan}
+                state["eobrun"] = 0
+                continue
+            raise ValueError(f"unexpected marker {e.marker:04X} mid-scan")
+    # byte-align and return the next marker's position
+    p = r.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _reconstruct_luma(frame, coef, qts) -> np.ndarray:
+    """Dequant + IDCT of the accumulated luma coefficient plane (first
+    SOF component = Y), cropped to frame size — the progressive analog
+    of _decode_scan's per-block tail."""
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy, geom = _frame_geom(frame)
+    y_cid = comps[0][0]
+    hi, vi, tq, _nbx, _nby, fbx, fby = geom[y_cid]
+    qt = qts[tq]
+    zz_r = np.array([r for r, _ in _ZZ])
+    zz_c = np.array([c for _, c in _ZZ])
+    luma = np.zeros((fby * 8, fbx * 8), dtype=np.uint8)
+    cs = coef[y_cid]
+    for by in range(fby):
+        for bx in range(fbx):
+            block = np.zeros((8, 8))
+            block[zz_r, zz_c] = cs[by, bx].astype(np.int64) * qt
+            px = _A @ block @ _A.T + 128.0
+            luma[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(px), 0, 255
+            ).astype(np.uint8)
+    return luma[: h * vi // vmax, : w * hi // hmax][:h, :w]
 
 
 # ---------------------------------------------------------------------------
@@ -438,5 +644,180 @@ def encode_jpeg(planes: list[np.ndarray], qt: np.ndarray | None = None,
                 rst += 1
                 preds = [0] * nf
     out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _plane_coefs(plane: np.ndarray, qt_grid: np.ndarray) -> np.ndarray:
+    """Quantized zigzag DCT coefficients of an 8-aligned plane:
+    (nby, nbx, 64) int64 — the progressive encoder emits these across
+    several scans instead of one block-at-a-time pass."""
+    ph, pw = plane.shape
+    out = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+    zz_r = np.array([r for r, _ in _ZZ])
+    zz_c = np.array([c for _, c in _ZZ])
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coefs = _A.T @ (block.astype(np.float64) - 128.0) @ _A
+            q = np.round(coefs / qt_grid).astype(np.int64)
+            out[by, bx] = q[zz_r, zz_c]
+    return out
+
+
+def encode_jpeg_progressive(planes: list[np.ndarray],
+                            qt: np.ndarray | None = None) -> bytes:
+    """Progressive (SOF2) encoder for round-trip fixtures — the same
+    coefficient math as encode_jpeg emitted across a libjpeg-style scan
+    script: interleaved DC first pass at Al=1 + DC refinement, then
+    per-component spectral bands (1-5, 6-63) with TWO successive-
+    approximation levels (first pass at Al=2, refinements 2→1 and 1→0),
+    exercising every decoder path: EOB runs, ZRL in refinement,
+    correction bits, newly-significant placement, interleaved DC."""
+    if len(planes) not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) planes")
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) for p in planes):
+        raise ValueError("4:4:4 planes must share a shape")
+    qt = _FIXTURE_QT if qt is None else np.asarray(qt, dtype=np.uint16)
+    qt_grid = np.zeros((8, 8), dtype=np.int64)
+    for i, (r, c) in enumerate(_ZZ):
+        qt_grid[r, c] = int(qt[i])
+    dc_syms, ac_syms, (dc_counts, dc_enc), (ac_counts, ac_enc) = _fixture_tables()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    nf = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in qt))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for cid in range(1, nf + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    coefs = []
+    for p in planes:
+        full = np.zeros((ph, pw), dtype=np.uint8)
+        full[:h, :w] = p
+        full[:h, w:] = p[:, w - 1:w]
+        full[h:, :] = full[h - 1:h, :]
+        coefs.append(_plane_coefs(full, qt_grid))
+    nby, nbx = ph // 8, pw // 8
+
+    def emit(wtr, enc, sym):
+        ln, code = enc[sym]
+        wtr.write(code, ln)
+
+    def dc_first(wtr, cis, al):
+        preds = {ci: 0 for ci in cis}
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in cis:
+                    v = int(coefs[ci][by, bx, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = 0 if diff == 0 else abs(diff).bit_length()
+                    emit(wtr, dc_enc, t)
+                    if t:
+                        wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def dc_refine(wtr, cis, al):
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in cis:
+                    wtr.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def ac_first(wtr, ci, ss_, se_, al):
+        for by in range(nby):
+            for bx in range(nbx):
+                b = coefs[ci][by, bx]
+                run = 0
+                for k in range(ss_, se_ + 1):
+                    c = int(b[k])
+                    v = abs(c) >> al
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        emit(wtr, ac_enc, 0xF0)
+                        run -= 16
+                    s = v.bit_length()
+                    emit(wtr, ac_enc, (run << 4) | s)
+                    sv = v if c >= 0 else -v
+                    wtr.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    emit(wtr, ac_enc, 0x00)  # EOB (run length 1)
+
+    def ac_refine(wtr, ci, ss_, se_, al):
+        for by in range(nby):
+            for bx in range(nbx):
+                b = coefs[ci][by, bx]
+                run = 0
+                corr: list[int] = []
+                for k in range(ss_, se_ + 1):
+                    a = abs(int(b[k]))
+                    t = a >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs are emitted on reaching ANY nonzero coefficient
+                    # with >=16 pending zero-history positions — BEFORE
+                    # this coefficient contributes a bit — so no pending
+                    # correction bit ever belongs past a ZRL's 16-zero
+                    # span (the decoder consumes correction bits
+                    # interleaved within exactly that span)
+                    while run >= 16:
+                        emit(wtr, ac_enc, 0xF0)
+                        for bit in corr:
+                            wtr.write(bit, 1)
+                        corr = []
+                        run -= 16
+                    if t == 1:  # newly significant at this level
+                        emit(wtr, ac_enc, (run << 4) | 1)
+                        wtr.write(1 if int(b[k]) > 0 else 0, 1)
+                        for bit in corr:
+                            wtr.write(bit, 1)
+                        corr = []
+                        run = 0
+                    else:  # previously significant: correction bit
+                        corr.append(t & 1)
+                if run or corr:
+                    emit(wtr, ac_enc, 0x00)  # EOB
+                    for bit in corr:
+                        wtr.write(bit, 1)
+
+    all_cis = tuple(range(nf))
+    script: list[tuple] = [("dc_first", all_cis, 0, 0, 0, 1)]
+    for ci in range(nf):
+        script += [("ac_first", (ci,), 1, 5, 0, 2),
+                   ("ac_first", (ci,), 6, 63, 0, 2)]
+    script.append(("dc_refine", all_cis, 0, 0, 1, 0))
+    for ci in range(nf):
+        script += [("ac_refine", (ci,), 1, 5, 2, 1),
+                   ("ac_refine", (ci,), 6, 63, 2, 1),
+                   ("ac_refine", (ci,), 1, 5, 1, 0),
+                   ("ac_refine", (ci,), 6, 63, 1, 0)]
+
+    for kind, cis, ss_, se_, ah, al in script:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss_, se_, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        wtr = _BitWriter()
+        if kind == "dc_first":
+            dc_first(wtr, cis, al)
+        elif kind == "dc_refine":
+            dc_refine(wtr, cis, al)
+        elif kind == "ac_first":
+            ac_first(wtr, cis[0], ss_, se_, al)
+        else:
+            ac_refine(wtr, cis[0], ss_, se_, al)
+        out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)

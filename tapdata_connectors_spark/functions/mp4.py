@@ -14,8 +14,13 @@ timestamps, not pixels.
 
 Supported: version 0/1 full boxes, stco and co64, multi-entry stsc,
 fixed- and per-sample stsz, first video track selected by hdlr 'vide'
-(falls back to the first track). Fragmented MP4 (moof) is rejected with
-a clear error — sample tables live in the fragments there.
+(falls back to the first track). FRAGMENTED MP4 (fMP4/CMAF — the form
+every DASH/HLS segment on the web uses) is supported too: sample sizes,
+durations and offsets resolve from each moof's tfhd/tfdt/trun with
+trex defaults from moov/mvex, base-data-offset or default-base-is-moof
+addressing, and timestamps carried across fragments via tfdt. A moov
+with empty sample tables and no moof raises (a real fMP4 always
+carries fragments).
 
 Scale note: runs inside mapInPandas Arrow batches (multimodal.py) —
 map-only; the box walk is O(boxes) over an in-memory blob and slicing
@@ -80,17 +85,131 @@ def _stbl(data: bytes, trak: tuple[int, int]) -> tuple[int, int]:
     return trak
 
 
+def _tkhd_track_id(data: bytes, trak: tuple[int, int]) -> int:
+    tkhd = _find(data, *trak, "tkhd")
+    if tkhd is None:
+        raise ValueError("MP4 trak missing tkhd")
+    v, _ = _full_box(data, tkhd[0])
+    off = tkhd[0] + (12 if v == 0 else 20)  # after version/flags + times
+    (tid,) = struct.unpack(">I", data[off:off + 4])
+    return tid
+
+
+def _trex_defaults(data: bytes, moov: tuple[int, int]) -> dict:
+    """{track_id: (default_sample_duration, default_sample_size)} from
+    moov/mvex/trex — the fragment-wide fallbacks (14496-12 §8.8.3)."""
+    out: dict = {}
+    mvex = _find(data, *moov, "mvex")
+    if mvex is None:
+        return out
+    for t, s, _e in _boxes(data, *mvex):
+        if t == "trex":
+            tid, _sdi, ddur, dsize, _dflags = struct.unpack(
+                ">IIIII", data[s + 4:s + 24]
+            )
+            out[tid] = (ddur, dsize)
+    return out
+
+
+def _fragment_samples(data: bytes, moov: tuple[int, int]
+                      ) -> list[tuple[int, bytes]]:
+    """[(timestamp, encoded_sample_bytes)] resolved from moof fragments
+    (tfhd defaults + trex fallbacks + trun per-sample tables); decode
+    order, timestamps in media-timescale units carried across fragments
+    via tfdt when present."""
+    tid = _tkhd_track_id(data, _video_trak(data, moov))
+    trex = _trex_defaults(data, moov).get(tid, (0, 0))
+    out: list[tuple[int, bytes]] = []
+    next_ts = 0
+    for typ, ms, me in _boxes(data, 0, len(data)):
+        if typ != "moof":
+            continue
+        moof_start = ms - 8  # box header precedes the payload
+        for t, ts_, te in _boxes(data, ms, me):
+            if t != "traf":
+                continue
+            tfhd = _find(data, ts_, te, "tfhd")
+            if tfhd is None:
+                raise ValueError("fMP4 traf missing tfhd")
+            _v, fl = _full_box(data, tfhd[0])
+            pos = tfhd[0] + 4
+            (traf_tid,) = struct.unpack(">I", data[pos:pos + 4])
+            pos += 4
+            base = moof_start
+            if fl & 0x01:  # base-data-offset-present
+                (base,) = struct.unpack(">Q", data[pos:pos + 8])
+                pos += 8
+            # default-base-is-moof (0x20000) is moof_start — already the
+            # default here, which also matches the spec's "first traf of
+            # the fragment" implicit rule for the single-video-traf files
+            # this demuxer targets
+            if fl & 0x02:  # sample-description-index
+                pos += 4
+            d_dur = trex[0]
+            if fl & 0x08:
+                (d_dur,) = struct.unpack(">I", data[pos:pos + 4])
+                pos += 4
+            d_size = trex[1]
+            if fl & 0x10:
+                (d_size,) = struct.unpack(">I", data[pos:pos + 4])
+                pos += 4
+            if traf_tid != tid:
+                continue
+            tfdt = _find(data, ts_, te, "tfdt")
+            ts = next_ts
+            if tfdt is not None:
+                v, _ = _full_box(data, tfdt[0])
+                ts = (struct.unpack(">I", data[tfdt[0] + 4:tfdt[0] + 8])[0]
+                      if v == 0 else
+                      struct.unpack(">Q", data[tfdt[0] + 4:tfdt[0] + 12])[0])
+            for bt, bs, be in _boxes(data, ts_, te):
+                if bt != "trun":
+                    continue
+                _v, tf = _full_box(data, bs)
+                p = bs + 4
+                (n,) = struct.unpack(">I", data[p:p + 4])
+                p += 4
+                if not tf & 0x01:
+                    raise ValueError(
+                        "fMP4 trun without data-offset is not supported "
+                        "(implicit run chaining)"
+                    )
+                (doff,) = struct.unpack(">i", data[p:p + 4])
+                p += 4
+                if tf & 0x04:  # first-sample-flags
+                    p += 4
+                sample_pos = base + doff
+                for _i in range(n):
+                    dur = d_dur
+                    if tf & 0x100:
+                        (dur,) = struct.unpack(">I", data[p:p + 4])
+                        p += 4
+                    size = d_size
+                    if tf & 0x200:
+                        (size,) = struct.unpack(">I", data[p:p + 4])
+                        p += 4
+                    if tf & 0x400:
+                        p += 4
+                    if tf & 0x800:
+                        p += 4
+                    if not size:
+                        raise ValueError("fMP4 sample with no size "
+                                         "(no trun entry, tfhd or trex default)")
+                    out.append((ts, data[sample_pos:sample_pos + size]))
+                    sample_pos += size
+                    ts += dur
+            next_ts = ts
+    return out
+
+
 def mp4_meta(data: bytes) -> dict:
     """(width, height, timescale, duration, n_samples) of the video
-    track — tkhd 16.16 fixed-point dims, mdhd media timescale."""
+    track — tkhd 16.16 fixed-point dims, mdhd media timescale. For
+    fragmented MP4 the sample count and duration come from walking the
+    moof fragments (the moov's stbl is empty by construction there)."""
     data = bytes(data)
     moov = _find(data, 0, len(data), "moov")
     if moov is None:
-        if _find(data, 0, len(data), "moof") is not None:
-            raise NotImplementedError(
-                "fragmented MP4 (moof) is not supported — sample tables "
-                "live in the fragments"
-            )
         raise ValueError("MP4 has no moov box")
     trak = _video_trak(data, moov)
     tkhd = _find(data, *trak, "tkhd")
@@ -112,6 +231,14 @@ def mp4_meta(data: bytes) -> dict:
     stbl = _stbl(data, trak)
     stsz = _find(data, *stbl, "stsz")
     (n_samples,) = struct.unpack(">I", data[stsz[0] + 8:stsz[0] + 12])
+    if _find(data, 0, len(data), "moof") is not None:
+        frags = _fragment_samples(data, moov)
+        n_samples = len(frags)
+        if not dur and frags:
+            # fragmented files often leave mdhd duration 0; derive it
+            # from the fragment timeline (last ts + its duration is not
+            # recoverable per-sample here, so use the accumulated span)
+            dur = frags[-1][0] - frags[0][0] if n_samples > 1 else 0
     return {"width": w16 >> 16, "height": h16 >> 16, "timescale": ts,
             "duration": dur, "n_samples": n_samples}
 
@@ -123,12 +250,9 @@ def mp4_samples(data: bytes) -> list[tuple[int, bytes]]:
     data = bytes(data)
     moov = _find(data, 0, len(data), "moov")
     if moov is None:
-        if _find(data, 0, len(data), "moof") is not None:
-            raise NotImplementedError(
-                "fragmented MP4 (moof) is not supported — sample tables "
-                "live in the fragments"
-            )
         raise ValueError("MP4 has no moov box")
+    if _find(data, 0, len(data), "moof") is not None:
+        return _fragment_samples(data, moov)
     stbl = _stbl(data, _video_trak(data, moov))
 
     stsz = _find(data, *stbl, "stsz")
@@ -244,3 +368,68 @@ def mux_mp4(frames: list[bytes], width: int = 64, height: int = 48,
                 + b"\x00" * 24 + struct.pack(">I", 2))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def mux_fmp4(frames: list[bytes], width: int = 64, height: int = 48,
+             timescale: int = 1000, sample_delta: int = 40,
+             frag_size: int = 2) -> bytes:
+    """Fragmented-MP4 fixture muxer (CMAF/DASH-segment shape): ftyp +
+    moov whose stbl is EMPTY (as real fMP4 initialization segments are)
+    with mvex/trex carrying the default sample duration, then one
+    moof+mdat pair per `frag_size` samples — tfhd uses
+    default-base-is-moof, tfdt carries the fragment's base decode time,
+    trun carries per-sample sizes with an explicit data offset."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"iso2")
+
+    n = len(frames)
+    duration = n * sample_delta
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(
+        b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70
+    ))
+    stts = _box(b"stts", struct.pack(">II", 0, 0))
+    stsc = _box(b"stsc", struct.pack(">II", 0, 0))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, 0))
+    stco = _box(b"stco", struct.pack(">II", 0, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                + b"\x00" * 12 + b"fixture\x00")
+    mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, timescale,
+                                     0, 0x55C4, 0))  # duration 0: fMP4
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">IIIII", 0x00000007, 0, 0, 1, 0)
+                + struct.pack(">I", duration) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    trex = _box(b"trex", struct.pack(">IIIIII", 0, 1, 1, sample_delta, 0, 0))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+
+    out = ftyp + moov
+    seq = 0
+    for i0 in range(0, n, frag_size):
+        chunk = frames[i0:i0 + frag_size]
+        seq += 1
+        mfhd = _box(b"mfhd", struct.pack(">II", 0, seq))
+        tfhd = _box(b"tfhd", struct.pack(">II", 0x020000, 1))
+        tfdt = _box(b"tfdt", struct.pack(">II", 0, i0 * sample_delta))
+
+        def _trun(doff: int) -> bytes:
+            return _box(b"trun", struct.pack(">IIi", 0x000201, len(chunk),
+                                             doff)
+                        + b"".join(struct.pack(">I", len(f)) for f in chunk))
+
+        probe = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + _trun(0)))
+        moof = _box(b"moof", mfhd + _box(
+            b"traf", tfhd + tfdt + _trun(len(probe) + 8)
+        ))
+        assert len(moof) == len(probe)
+        out += moof + _box(b"mdat", b"".join(chunk))
+    return out

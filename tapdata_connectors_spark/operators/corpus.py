@@ -1029,8 +1029,14 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
             StructField("component_id", dt, True),
         ])
         if n_edges <= driver_threshold:
-            rows = edges.collect()
-            labels = _union_find_components((r["src"], r["dst"]) for r in rows)
+            # Arrow-backed toPandas, not collect(): 2M Row objects cost
+            # hundreds of MB of driver heap; two Arrow columns of longs
+            # are ~32 MB (.tolist() converts numpy scalars to plain
+            # python so ids compare/createDataFrame cleanly)
+            pdf = edges.toPandas()
+            labels = _union_find_components(
+                zip(pdf["src"].tolist(), pdf["dst"].tolist())
+            )
             out = spark.createDataFrame(
                 sorted(labels.items()), schema=out_schema
             ) if labels else spark.createDataFrame([], schema=out_schema)

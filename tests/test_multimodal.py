@@ -357,7 +357,7 @@ def test_jpeg_restart_markers():
     assert np.array_equal(plain, with_rst)
 
 
-def test_jpeg_flat_block_exact_and_progressive_rejected():
+def test_jpeg_flat_block_exact_and_rare_sof_rejected():
     from tapdata_connectors_spark.functions.jpeg import (
         decode_jpeg_luma,
         encode_jpeg,
@@ -366,10 +366,70 @@ def test_jpeg_flat_block_exact_and_progressive_rejected():
     flat = np.full((16, 16), 200, np.uint8)
     b = encode_jpeg([flat])
     assert np.array_equal(decode_jpeg_luma(b), flat)  # DC-only: exact
-    prog = bytearray(b)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_luma(bytes(prog))
+    lossless = bytearray(b)
+    lossless[lossless.find(b"\xff\xc0") + 1] = 0xC3  # SOF3 lossless
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_luma(bytes(lossless))
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """Progressive (SOF2) decode: the libjpeg-style scan script —
+    interleaved DC + spectral bands with two successive-approximation
+    levels — reconstructs pixels IDENTICAL to the baseline encoding of
+    the same image (the coefficient planes are equal by construction),
+    for grayscale, non-8-aligned shapes, and 4:4:4 color."""
+    from tapdata_connectors_spark.functions.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in ((16, 16), (24, 17), (8, 8)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg_luma(encode_jpeg([img]))
+        prog = decode_jpeg_luma(encode_jpeg_progressive([img]))
+        assert np.array_equal(prog, base), shape
+    planes = [rng.randint(0, 256, (16, 24)).astype(np.uint8)
+              for _ in range(3)]
+    assert np.array_equal(
+        decode_jpeg_luma(encode_jpeg_progressive(planes)),
+        decode_jpeg_luma(encode_jpeg(planes)),
+    )
+
+
+def test_jpeg_progressive_zrl_refinement_with_correction_bits():
+    """Adversarial refinement bitstream: a coefficient that becomes
+    significant only at the last approximation level, preceded by a
+    32-zero run AND an earlier already-significant coefficient in the
+    same band — forces ZRL emission inside an AC refinement scan with
+    pending correction bits, the exact interleaving a naive encoder
+    desyncs on (correction bits must never span a ZRL's 16-zero span).
+    Plus a randomized sweep across shapes and quant scales."""
+    from tapdata_connectors_spark.functions import jpeg
+
+    def img_from_zz(zzvals, qt_val=8):
+        d = np.zeros((8, 8))
+        for i, (r, c) in enumerate(jpeg._ZZ):
+            d[r, c] = zzvals.get(i, 0) * qt_val
+        px = jpeg._A @ d @ jpeg._A.T + 128.0
+        return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+    qt = np.full(64, 8, np.uint16)
+    img = img_from_zz({0: 4, 5: 5, 7: 5, 40: 1})
+    assert np.array_equal(
+        jpeg.decode_jpeg_luma(jpeg.encode_jpeg_progressive([img], qt=qt)),
+        jpeg.decode_jpeg_luma(jpeg.encode_jpeg([img], qt=qt)),
+    )
+    rng = np.random.RandomState(123)
+    for _ in range(25):
+        h, w = rng.randint(8, 40), rng.randint(8, 40)
+        q = np.full(64, int(rng.choice([2, 8, 64])), np.uint16)
+        im = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(
+            jpeg.decode_jpeg_luma(jpeg.encode_jpeg_progressive([im], qt=q)),
+            jpeg.decode_jpeg_luma(jpeg.encode_jpeg([im], qt=q)),
+        )
 
 
 def test_jpeg_through_image_meta_and_resize_spark(spark):
@@ -409,13 +469,34 @@ def test_mp4_demux_meta_samples_timestamps():
     assert [t for t, _ in s] == [40 * i for i in range(7)]
 
 
-def test_mp4_fragmented_rejected():
+def test_mp4_fragmented_roundtrip():
+    """fMP4 (moof fragments — the DASH/HLS segment shape): samples
+    resolve from tfhd/tfdt/trun with trex defaults; timestamps carry
+    across fragments; meta counts fragment samples (the moov stbl is
+    empty in fMP4 by construction)."""
+    from tapdata_connectors_spark.functions.mp4 import (
+        mp4_meta,
+        mp4_samples,
+        mux_fmp4,
+    )
+
+    frames = [bytes([i]) * (10 + 3 * i) for i in range(5)]
+    b = mux_fmp4(frames, width=320, height=240, timescale=1000,
+                 sample_delta=40, frag_size=2)
+    meta = mp4_meta(b)
+    assert (meta["width"], meta["height"], meta["n_samples"]) == (320, 240, 5)
+    s = mp4_samples(b)
+    assert [bs for _, bs in s] == frames
+    assert [t for t, _ in s] == [0, 40, 80, 120, 160]
+
+
+def test_mp4_fragmented_without_moov_rejected():
     from tapdata_connectors_spark.functions.mp4 import mp4_samples
 
     moof = struct.pack(">I", 8) + b"moof"
     frag = (struct.pack(">I", 0x18) + b"ftyp" + b"isom" + b"\x00" * 4
             + b"isomiso2" + moof)
-    with pytest.raises(NotImplementedError, match="fragmented"):
+    with pytest.raises(ValueError, match="moov"):
         mp4_samples(frag)
 
 
