@@ -471,6 +471,34 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
+
+    # ANN index lifecycle, measured as it runs at scale: TRAIN ONCE to a
+    # persisted artifact (Lloyd coarse quantizer + Lloyd PQ codebooks,
+    # ann.build_ivfpq_index), then SEARCH MANY from the loaded artifact
+    # (ann_ivfpq_topk_indexed). The registry row `ann_ivfpq_topk` measures
+    # frozen-seed search only (its per-round oracle); this record is where
+    # the trained path's train-vs-search split is visible — the r4 verdict
+    # flagged conflating them (training was 31% of the registry wall).
+    from tapdata_connectors_spark.operators import ann as _ann
+    from tapdata_connectors_spark.queries import _t as _load_table
+
+    emb = _load_table(spark, SF_DIR, "embeddings")
+    idx_path = f"{SCRATCH}/ann_ivfpq_index_sf{SF}"
+    t0 = time.time()
+    _ann.build_ivfpq_index(emb, idx_path, k=8, m=4, ksub=16,
+                           coarse_iters=3, pq_iters=3, sample_mod=2)
+    train_sec = time.time() - t0
+    t0 = time.time()
+    loaded_idx = _ann.load_ann_index(spark, idx_path)
+    searched = _ann.ann_ivfpq_topk_indexed(
+        emb, loaded_idx, n_queries=8, k=5, nprobe=2).count()
+    search_sec = time.time() - t0
+    ann_index = {
+        "train_sec": round(train_sec, 3),
+        "search_from_artifact_sec": round(search_sec, 3),
+        "result_rows": searched,
+        "params": loaded_idx["params"],
+    }
     spark.stop()
 
     scaling = None
@@ -496,6 +524,7 @@ def main() -> None:
         "merge_mode": "mor",
         "html_kb": HTML_KB,
         "host_attribution": host_attr,
+        "ann_index": ann_index,
         "scaling": scaling,
     }
     # full record: to a file (never truncated) AND stdout for completeness
