@@ -246,6 +246,120 @@ def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     )
 
 
+def dup_span_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   cache_registry: list | None = None) -> DataFrame:
+    """Longest cross-document duplicated token span per document — the
+    POSITIONAL half of exact-substring dedup (Lee et al. 2022): where
+    cross_doc_ngram_stats counts how many of a doc's n-gram windows are
+    shared, this finds the longest run of CONSECUTIVE shared windows and
+    reports its token length (run + n - 1) — the span an exact-substring
+    dedup pass would cut from the document.
+
+    Shape at 100 TB: one posexplode of 60-bit window hashes (skinny rows:
+    doc_id, pos, gh — never the gram text), document frequency from
+    distinct (doc_id, gh) grouped on gh, one join back on gh, then a
+    gaps-and-islands pass whose window is partitioned BY DOCUMENT
+    (row_number over pos — bounded by doc length, never a global sort).
+    Linear in corpus size; the suffix-array formulation in the paper is
+    single-node, this is its distributable window-inventory equivalent.
+    `cache_registry` receives the release handle for the persisted gram
+    frame (feeds both the docfreq and join sides)."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select("doc_id", "pos", md5_slice(F.col("gram"), 15).alias("gh"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(grams)
+    docfreq = (
+        grams.filter(F.col("gh").isNotNull())
+        .select("doc_id", "gh").distinct()
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dup = (
+        grams.filter(F.col("gh").isNotNull())
+        .join(docfreq.filter(F.col("n_docs") > 1).select("gh"), "gh")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "island").agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.sum("run").alias("n_dup_windows"),
+             (F.max("run") + (n - 1)).alias("max_dup_span"))
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.col("gh")).alias("n_windows"))
+    return totals.join(runs, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+        .alias("n_dup_windows"),
+        F.col("max_dup_span").cast("long").alias("max_dup_span"),
+    )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      cache_registry: list | None = None) -> DataFrame:
+    """Language-model quality proxy (the CCNet perplexity filter's shape,
+    Wenzek et al. 2020 — there a KenLM 5-gram model; at corpus bootstrap
+    the same wellformedness signal is available from the corpus' own
+    unigram statistics, with no model artifact): per-token surprisal
+    approximated INTEGER-EXACTLY by bit lengths — surprisal(tok) =
+    bitlen(N_total) - bitlen(count(tok)), which is -log2 p(tok) within
+    one bit — summed per document and normalized ×1e3. No float log
+    anywhere, so the DuckDB oracle compares bit-for-bit; rare-token-heavy
+    (misspelled, boilerplate-coded, non-lexical) documents score high
+    exactly as they do under a real LM filter.
+
+    Shape at 100 TB: one explode of 60-bit token hashes (skinny rows),
+    one count by hash, one scalar total riding a broadcast, one join
+    back on the hash, one per-doc sum — linear, hash-partitioned on one
+    key, the same inventory shape as cross_doc_ngram_stats. AQE's skew
+    join covers hot common tokens."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", md5_slice(F.col("tok"), 15).alias("th"))
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(toks)
+    counts = (
+        toks.filter(F.col("th").isNotNull())
+        .groupBy("th").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    bits = (
+        toks.join(counts, "th", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("th").isNotNull(),
+                F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt"))),
+            ).alias("bits"),
+        )
+    )
+    per_doc = bits.groupBy("doc_id").agg(
+        F.count(F.col("bits")).alias("n_tokens"),
+        F.sum("bits").alias("surprisal_bits"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("surprisal_bits"), F.lit(0)).cast("long")
+        .alias("surprisal_bits"),
+        F.when(F.col("n_tokens") > 0,
+               F.floor(F.col("surprisal_bits") * 1000 / F.col("n_tokens")))
+        .otherwise(F.lit(None)).cast("long").alias("bits_per_token_x1e3"),
+    )
+
+
 def gopher_quality(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    min_words: int = 5, max_words: int = 100000,

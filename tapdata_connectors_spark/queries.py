@@ -627,6 +627,81 @@ FROM t LEFT JOIN (
 """
 
 
+def q_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest cross-document duplicated token span per doc (n=5 windows)
+    — the positional half of exact-substring dedup (Lee et al. 2022):
+    gaps-and-islands over shared-window positions, reporting the longest
+    consecutive run as a token span. Engine op:
+    operators/corpus.dup_span_stats."""
+    return corpus.dup_span_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+SQL_DUP_SPAN_DETECT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), gl AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+4), ' ')) ELSE [] END AS gs
+  FROM t
+), g AS (
+  SELECT doc_id, s['pos'] AS pos, s['gh'] AS gh
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+            i -> {'pos': i-1, 'gh': CAST(('0x' || substr(md5(gs[i]), 1, 15)) AS BIGINT)})) AS s
+        FROM gl)
+), df AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+), dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN df USING (gh)
+), runs AS (
+  SELECT doc_id, island, count(*) AS run
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM dup)
+  GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, sum(run) AS n_dup_windows, max(run) + 4 AS max_dup_span
+  FROM runs GROUP BY doc_id
+)
+SELECT gl.doc_id,
+  CAST(len(gs) AS BIGINT) AS n_windows,
+  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(p.max_dup_span AS BIGINT) AS max_dup_span
+FROM gl LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality proxy, integer-exact: per-doc mean token
+    surprisal from corpus unigram stats via bit lengths (bitlen(N_total)
+    - bitlen(count) = -log2 p within one bit). Engine op:
+    operators/corpus.unigram_surprisal."""
+    return corpus.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH tk AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+        FROM documents)
+), c AS (SELECT th, count(*) AS cnt FROM tk GROUP BY th),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+e AS (
+  SELECT tk.doc_id,
+         length(format('{:b}', tot.total)) - length(format('{:b}', CAST(c.cnt AS BIGINT))) AS bits
+  FROM tk JOIN c USING (th) CROSS JOIN tot
+), per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(bits) AS s FROM e GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(p.s, 0) AS BIGINT) AS surprisal_bits,
+  CASE WHEN coalesce(p.n_tokens, 0) > 0
+       THEN CAST(floor(p.s * 1000 / p.n_tokens) AS BIGINT) END AS bits_per_token_x1e3
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (Rae et al. 2021 table A1):
     word-count band, mean-word-length band, duplicate-2-gram ceiling,
@@ -2204,12 +2279,18 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_ivf_assign": q_embedding_ivf_assign,
+    # round-5 additions past the 50-row driver cap: full operators, fully
+    # oracle-gated here every pytest run
+    "dup_span_detect": q_dup_span_detect,
+    "unigram_surprisal": q_unigram_surprisal,
 }
 
 AUX_ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
     "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
+    "dup_span_detect": SQL_DUP_SPAN_DETECT,
+    "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
 }
 
 assert len(QUERIES) <= 50, "round driver verifies at most 50 registry rows"

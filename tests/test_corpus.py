@@ -589,6 +589,51 @@ def test_cross_doc_ngram_stats_keeps_short_docs(spark):
     assert rows[2].n_ngrams == 2 and rows[2].n_shared == 0
 
 
+def test_dup_span_stats_runs_and_islands(spark):
+    """Hand-computed gaps-and-islands expectations (the DuckDB oracle in
+    queries.py runs the same algorithm in SQL, so this fixture is the
+    independent check on the span semantics themselves)."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g h"),
+        # shares the 5-token span "a b c d e" with doc 1 -> 3 consecutive
+        # duplicated 3-gram windows -> span 3 + (3-1) = 5
+        Row(doc_id=2, text="x y a b c d e z w"),
+        # two SEPARATED duplicated windows ("a b c" at pos 0, "c d e" at
+        # pos 6) -> two islands of run 1 -> max span 3, n_dup_windows 2
+        Row(doc_id=3, text="a b c k k k c d e"),
+        Row(doc_id=4, text="q r s"),    # 1 window, nothing shared
+        Row(doc_id=5, text="m"),        # shorter than n -> 0 windows
+    ])
+    rows = {r.doc_id: r for r in corpus.dup_span_stats(df, n=3).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].n_windows == 6
+    assert rows[1].n_dup_windows == 3 and rows[1].max_dup_span == 5
+    assert rows[2].n_windows == 7
+    assert rows[2].n_dup_windows == 3 and rows[2].max_dup_span == 5
+    assert rows[3].n_windows == 7
+    assert rows[3].n_dup_windows == 2 and rows[3].max_dup_span == 3
+    assert rows[4].n_windows == 1
+    assert rows[4].n_dup_windows == 0 and rows[4].max_dup_span is None
+    assert rows[5].n_windows == 0 and rows[5].max_dup_span is None
+
+
+def test_unigram_surprisal_bit_exact(spark):
+    """counts: the=3 cat=1 dog=1, total=5 (bitlen 3) -> surprisal(the)=1,
+    surprisal(cat)=surprisal(dog)=2 bits."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the the cat"),
+        Row(doc_id=2, text="the dog"),
+        Row(doc_id=3, text=""),
+    ])
+    rows = {r.doc_id: r for r in corpus.unigram_surprisal(df).collect()}
+    assert rows[1].n_tokens == 3 and rows[1].surprisal_bits == 4
+    assert rows[1].bits_per_token_x1e3 == 1333
+    assert rows[2].n_tokens == 2 and rows[2].surprisal_bits == 3
+    assert rows[2].bits_per_token_x1e3 == 1500
+    assert rows[3].n_tokens == 0 and rows[3].surprisal_bits == 0
+    assert rows[3].bits_per_token_x1e3 is None
+
+
 def test_gopher_quality_flags(spark):
     df = spark.createDataFrame([
         Row(doc_id=1, text="a sensible document with several distinct words inside it"),
