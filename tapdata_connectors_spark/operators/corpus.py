@@ -303,6 +303,112 @@ def dup_span_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     )
 
 
+def exact_substring_cut(df: DataFrame, n: int = 5, min_span: int = 10,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        cache_registry: list | None = None) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022 cut
+    duplicated spans out of documents rather than dropping documents):
+    every maximal run of cross-document-duplicated n-gram windows whose
+    token span (run + n - 1) reaches `min_span` is cut from the token
+    stream; the surviving tokens are re-joined with single spaces. The
+    cut operates on the normalized (lowercased, whitespace-split) token
+    stream — the same stream every other dedup signal here uses — so the
+    output is the training-pipeline text, not a byte-identical original.
+
+    Shape at 100 TB: the dup_span_stats inventory (posexplode of 60-bit
+    window hashes, docfreq over distinct (doc, gh), per-document
+    gaps-and-islands), then cut ranges explode into covered POSITIONS
+    (bounded by document length) for one equi anti-join against the
+    token stream — no range join, no all-pairs anywhere — and a per-doc
+    ordered re-assembly whose collect is bounded by doc length.
+    Emits (doc_id, n_tokens, n_tokens_cut, n_spans_cut, cleaned_md5) —
+    the digest keeps result rows narrow; callers wanting the cleaned
+    text select `cleaned` before the final projection via
+    exact_substring_cut_full."""
+    return _exact_substring_cut(df, n, min_span, id_col, text_col,
+                                cache_registry).select(
+        "doc_id", "n_tokens", "n_tokens_cut", "n_spans_cut",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )
+
+
+def exact_substring_cut_full(df: DataFrame, n: int = 5, min_span: int = 10,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             cache_registry: list | None = None) -> DataFrame:
+    """exact_substring_cut with the cleaned text column materialized."""
+    return _exact_substring_cut(df, n, min_span, id_col, text_col,
+                                cache_registry)
+
+
+def _exact_substring_cut(df: DataFrame, n: int, min_span: int,
+                         id_col: str, text_col: str,
+                         cache_registry: list | None) -> DataFrame:
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select("doc_id", "pos", md5_slice(F.col("gram"), 15).alias("gh"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(grams)
+    docfreq = (
+        grams.filter(F.col("gh").isNotNull())
+        .select("doc_id", "gh").distinct()
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ranges = (
+        grams.filter(F.col("gh").isNotNull())
+        .join(docfreq.filter(F.col("n_docs") > 1).select("gh"), "gh")
+        .select("doc_id", "pos")
+        .withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start"), F.count(F.lit(1)).alias("run"))
+        .withColumn("span_len", F.col("run") + (n - 1))
+        .filter(F.col("span_len") >= min_span)
+    )
+    # ranges -> covered token positions: bounded by doc length, equi-join only
+    covered = ranges.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("start"),
+                             F.col("start") + F.col("span_len") - 1))
+        .alias("pos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.filter(F.col("tok").isNotNull()).join(
+        covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ), " ",
+        ).alias("cleaned"),
+    )
+    n_spans = ranges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_cut"))
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left").join(n_spans, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_tokens_cut"),
+            F.coalesce(F.col("n_spans_cut"), F.lit(0)).cast("long")
+            .alias("n_spans_cut"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       cache_registry: list | None = None) -> DataFrame:

@@ -671,6 +671,61 @@ FROM gl LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring CUT (Lee et al. 2022's removal step): duplicated
+    token spans >= 10 tokens (n=5 windows) are cut from the normalized
+    token stream; emits per-doc token/cut/span counts and the md5 of the
+    cleaned text. Engine op: operators/corpus.exact_substring_cut."""
+    return corpus.exact_substring_cut(
+        _t(spark, sf_dir, "documents"), n=5, min_span=10)
+
+
+SQL_DUP_SPAN_CUT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), gl AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+4), ' ')) ELSE [] END AS gs
+  FROM t
+), g AS (
+  SELECT doc_id, s['pos'] AS pos, s['gh'] AS gh
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+            i -> {'pos': i-1, 'gh': CAST(('0x' || substr(md5(gs[i]), 1, 15)) AS BIGINT)})) AS s
+        FROM gl)
+), dupgh AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+), rng AS (
+  SELECT doc_id, min(pos) AS start, count(*) + 4 AS span_len
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM g JOIN dupgh USING (gh))
+  GROUP BY doc_id, island
+  HAVING count(*) + 4 >= 10
+), cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, unnest(range(start, start + span_len)) AS pos FROM rng)
+), tk AS (
+  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+            i -> {'pos': i-1, 'tok': w[i]})) AS s
+        FROM t)
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = tk.doc_id AND cov.pos = tk.pos)
+), reb AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+), ns AS (SELECT doc_id, count(*) AS n_spans FROM rng GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(w) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_tokens_cut,
+  CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans_cut,
+  md5(coalesce(reb.cleaned, '')) AS cleaned_md5
+FROM t LEFT JOIN reb USING (doc_id) LEFT JOIN ns USING (doc_id)
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped LM quality proxy, integer-exact: per-doc mean token
     surprisal from corpus unigram stats via bit lengths (bitlen(N_total)
@@ -2282,6 +2337,7 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 additions past the 50-row driver cap: full operators, fully
     # oracle-gated here every pytest run
     "dup_span_detect": q_dup_span_detect,
+    "dup_span_cut": q_dup_span_cut,
     "unigram_surprisal": q_unigram_surprisal,
 }
 
@@ -2290,6 +2346,7 @@ AUX_ORACLE_SQL: dict[str, str] = {
     "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
     "embedding_ivf_assign": SQL_EMBEDDING_IVF_ASSIGN,
     "dup_span_detect": SQL_DUP_SPAN_DETECT,
+    "dup_span_cut": SQL_DUP_SPAN_CUT,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
 }
 

@@ -1,5 +1,7 @@
 from tapdata_connectors_spark.streaming.curation import (
+    cut_spans,
     dedup_pages,
+    find_cut_rewrites,
     find_dup_pages,
     find_new_dup_pages,
     find_low_quality_pages,
@@ -13,7 +15,7 @@ from tapdata_connectors_spark.streaming.rollup import (
 )
 from tapdata_connectors_spark.streaming.stateful import seq_continuity_monitor
 
-__all__ = ["CdcPipeline", "dedup_pages", "find_dup_pages",
-           "find_new_dup_pages", "find_low_quality_pages", "prune_pages",
-           "seq_continuity_monitor", "create_rollup_table",
+__all__ = ["CdcPipeline", "cut_spans", "dedup_pages", "find_cut_rewrites",
+           "find_dup_pages", "find_new_dup_pages", "find_low_quality_pages",
+           "prune_pages", "seq_continuity_monitor", "create_rollup_table",
            "refresh_rollup", "rollup_watermark"]

@@ -537,6 +537,153 @@ def _tombstone_losers(pipe, t, losers: DataFrame, epoch_key: str,
             "version": version, "epoch_key": epoch_key, "wall_ms": wall_ms}
 
 
+def find_cut_rewrites(pipe, n: int = 5, min_span: int = 10,
+                      cache_registry: list | None = None) -> DataFrame:
+    """(key, cleaned) for every live page holding at least one
+    cross-document duplicated token span of >= `min_span` tokens
+    (operators/corpus.exact_substring_cut_full over the current resolved
+    state). Pure query — no writes."""
+    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+
+    t = pipe.init_table()
+    key = t.manifest().key
+    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
+    live = (
+        t.read_raw().filter(~F.col(TOMBSTONE_COL))
+        .filter(F.col(text_name).isNotNull())
+    )
+    cut = corpus.exact_substring_cut_full(
+        live, n=n, min_span=min_span, id_col=key, text_col=text_name,
+        cache_registry=cache_registry,
+    )
+    return (
+        cut.filter(F.col("n_tokens_cut") > 0)
+        .select(F.col("doc_id").alias(key), F.col("cleaned").alias("_cleaned"))
+    )
+
+
+def cut_spans(pipe, n: int = 5, min_span: int = 10, tag: str = "0",
+              dry_run: bool = False) -> dict:
+    """Exact-substring curation stage — Lee et al. 2022's REMOVAL step as
+    an engine stage: pages containing a cross-document duplicated token
+    span of >= `min_span` tokens are REWRITTEN (the span cut out), not
+    dropped. This is the third curation disposition next to dedup_pages
+    (tombstone whole duplicates) and prune_pages (tombstone low quality):
+    boilerplate shared across many pages disappears while the unique
+    remainder of every page survives.
+
+    Semantics:
+    - A rewritten page carries the NORMALIZED cleaned text (lowercased
+      whitespace tokens re-joined with single spaces — the same token
+      stream every dedup signal uses); un-cut pages keep their original
+      text byte-identically, and the raw `html` column is never touched
+      (provenance).
+    - The row keeps its stored (ts, seq): a genuinely newer source event
+      overwrites the cut text (LWW preserved), an old redelivery stays
+      stale — same reasoning as the tombstone stages (module docstring).
+    - Ingest-time enrichment columns derive from the text, so they are
+      RECOMPUTED for rewritten rows inside the same projection — the
+      stored-enrichment == recomputed invariant that incremental dedup
+      relies on survives the rewrite (pytest-pinned).
+    - Idempotent per (tag) via the epoch_key guard. Re-running under a
+      fresh tag is usually a no-op (the shared spans are gone from every
+      holder); the exception is docs whose cut edges splice together NEW
+      shared adjacencies (identical flanking contexts around different
+      cut spans) — another pass picks those up, and iteration terminates
+      because total text strictly shrinks every rewriting pass.
+    - Commit is a compaction-style rewrite of the touched buckets —
+      atomic manifest CAS, lineage rows under CURATION_EPOCH with the
+      rewrites counted as updates.
+
+    No `since_version` variant: unlike the fingerprint/signature probes,
+    the span inventory has no per-row stored enrichment to probe — an
+    incremental pass would need a persisted corpus-wide gram-count table
+    (the natural extension at 10-TB/day ingest; the full pass here is
+    one linear inventory build, the same cost class as a full near-dup
+    pass)."""
+    from tapdata_connectors_spark.streaming.driver import ENRICHMENTS
+
+    t0 = time.time()
+    t = pipe.init_table()
+    epoch_key = f"curation:cutspans:{tag}"
+    if t.epoch_applied(epoch_key):
+        return {"skipped": True, "epoch_key": epoch_key}
+
+    key = t.manifest().key
+    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
+    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
+
+    caches: list = []
+    rw = find_cut_rewrites(pipe, n=n, min_span=min_span,
+                           cache_registry=caches)
+    rw = rw.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # one job: touched buckets + rewrite count + payload bytes
+        # (broadcast sizing includes the cleaned text riding the join)
+        per_b = (
+            rw.groupBy(t.bucket_expr(key).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length(key) + F.length("_cleaned")).alias("kb"))
+            .collect()
+        )
+        touched = sorted(r["b"] for r in per_b)
+        n_rewrites = sum(r["n"] for r in per_b)
+        pay_bytes = sum(r["kb"] or 0 for r in per_b)
+        if dry_run or not touched:
+            return {"n_rewrites": n_rewrites, "touched_buckets": touched,
+                    "dry_run": dry_run, "epoch_key": epoch_key,
+                    "version": t.current_version()}
+
+        pinned = t.current_version()
+        snap = t.manifest(pinned)
+        tset = set(touched)
+        consumed = {f["path"] for f in snap.files if f["bucket"] in tset}
+        resolved = t.read_raw(version=pinned, buckets=touched).withColumn(
+            "_mb", t.bucket_expr()
+        )
+        side = rw
+        if pay_bytes <= BROADCAST_KEY_BYTES:
+            side = F.broadcast(side)
+        rewritten = F.col("_cleaned").isNotNull()
+        flipped = resolved.join(side, key, "left").withColumn(
+            text_name,
+            F.when(rewritten, F.col("_cleaned")).otherwise(F.col(text_name)),
+        )
+        for fid, ename in pipe._enrich_ids.items():
+            cur = pipe._current_name_of(fid)
+            if cur is not None:
+                builder, typ = ENRICHMENTS[ename]
+                flipped = flipped.withColumn(
+                    cur,
+                    F.when(rewritten,
+                           builder(F.col(text_name)).cast(typ))
+                    .otherwise(F.col(cur)),
+                )
+        flipped = flipped.drop("_cleaned")
+        entries = t.write_data_files(flipped, "_mb")
+        version = t.commit_files(
+            entries,
+            replaced_paths=consumed,
+            epoch_key=epoch_key,
+            summary={"op": "cut_spans", "n_rewrites": n_rewrites,
+                     "n": n, "min_span": min_span},
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        for r in per_b:
+            pipe._lineage_rows.append((
+                CURATION_EPOCH, 0, int(r["b"]), None, None, int(r["n"]),
+                0, int(r["n"]), 0, 0, 0, 0, int(r["n"]), 0, wall_ms,
+            ))
+        pipe.flush_lineage()
+        return {"n_rewrites": n_rewrites, "touched_buckets": touched,
+                "version": version, "epoch_key": epoch_key,
+                "wall_ms": wall_ms}
+    finally:
+        rw.unpersist(blocking=True)
+        for c in caches:
+            c.unpersist(blocking=True)
+
+
 def find_low_quality_pages(pipe, policy: dict | None = None) -> DataFrame:
     """(url,) for every live page failing the Gopher-style composite
     quality gate (operators/corpus.gopher_quality) on the current

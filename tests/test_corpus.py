@@ -617,6 +617,40 @@ def test_dup_span_stats_runs_and_islands(spark):
     assert rows[5].n_windows == 0 and rows[5].max_dup_span is None
 
 
+def test_exact_substring_cut_semantics(spark):
+    """n=3, min_span=4: docs 1 and 2 share the 5-token span
+    'a b c d e' (>= min_span) -> cut from BOTH; doc 3 untouched.
+    Overlapping covered ranges must not double-cut (distinct positions)."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="x y a b c d e z w"),
+        Row(doc_id=3, text="p q r s t"),
+    ])
+    rows = {r.doc_id: r for r in
+            corpus.exact_substring_cut_full(df, n=3, min_span=4).collect()}
+    assert rows[1].n_tokens == 8 and rows[1].n_tokens_cut == 5
+    assert rows[1].n_spans_cut == 1 and rows[1].cleaned == "f g h"
+    assert rows[2].n_tokens == 9 and rows[2].n_tokens_cut == 5
+    assert rows[2].cleaned == "x y z w"
+    assert rows[3].n_tokens_cut == 0 and rows[3].cleaned == "p q r s t"
+
+
+def test_exact_substring_cut_below_threshold_kept(spark):
+    """A shared span SHORTER than min_span survives; a doc cut in full
+    comes back as the empty string."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="u v w q1 q2"),          # shares only 3 tokens
+        Row(doc_id=2, text="u v w r1 r2"),
+        Row(doc_id=3, text="c1 c2 c3 c4 c5 c6"),    # exact duplicate pair
+        Row(doc_id=4, text="c1 c2 c3 c4 c5 c6"),
+    ])
+    rows = {r.doc_id: r for r in
+            corpus.exact_substring_cut_full(df, n=3, min_span=4).collect()}
+    assert rows[1].n_tokens_cut == 0 and rows[1].cleaned == "u v w q1 q2"
+    assert rows[3].n_tokens_cut == 6 and rows[3].cleaned == ""
+    assert rows[4].n_tokens_cut == 6 and rows[4].cleaned == ""
+
+
 def test_unigram_surprisal_bit_exact(spark):
     """counts: the=3 cat=1 dog=1, total=5 (bitlen 3) -> surprisal(the)=1,
     surprisal(cat)=surprisal(dog)=2 bits."""
@@ -664,6 +698,111 @@ def test_top_terms_ordering_and_ties(spark):
 # ---------------------------------------------------------------------------
 # lake integration: prune_pages (quality-gate curation)
 # ---------------------------------------------------------------------------
+
+_SPAN8 = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_cut_spans_rewrites_not_drops(spark, tmpdir_):
+    """Lee et al.'s removal step as a curation stage: the shared 8-token
+    prefix is cut from BOTH holders, the unique remainders survive, the
+    unrelated page is byte-untouched."""
+    from tapdata_connectors_spark.streaming import cut_spans, find_cut_rewrites
+
+    rdds_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    pages = [
+        ("c/a", _H.format(_SPAN8 + " unique tail one")),
+        ("c/b", _H.format(_SPAN8 + " other ending two")),
+        ("c/c", _H.format("completely different page content here")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    orig_c = {r["url"]: r["text"]
+              for r in pipe.table.read().select("url", "text").collect()}["c/c"]
+
+    rw = {r["url"]: r["_cleaned"]
+          for r in find_cut_rewrites(pipe, n=3, min_span=8).collect()}
+    assert rw == {"c/a": "unique tail one", "c/b": "other ending two"}
+
+    rep = cut_spans(pipe, n=3, min_span=8, tag="t1")
+    assert rep["n_rewrites"] == 2
+    texts = {r["url"]: r["text"]
+             for r in pipe.table.read().select("url", "text").collect()}
+    assert texts["c/a"] == "unique tail one"
+    assert texts["c/b"] == "other ending two"
+    assert texts["c/c"] == orig_c            # no cut -> original bytes
+    assert set(texts) == {"c/a", "c/b", "c/c"}  # nothing dropped
+
+    # idempotent per tag; naturally convergent under a fresh tag
+    assert cut_spans(pipe, n=3, min_span=8, tag="t1").get("skipped") is True
+    rep2 = cut_spans(pipe, n=3, min_span=8, tag="t2")
+    assert rep2["n_rewrites"] == 0
+
+    # lineage: rewrites are counted as updates under the curation epoch
+    from tapdata_connectors_spark.streaming.curation import CURATION_EPOCH
+    lin = pipe.lineage().filter(F.col("epoch") == CURATION_EPOCH)
+    assert lin.agg(F.sum("n_update")).collect()[0][0] == 2
+    # a curation pass releases every frame it persisted (hermetic under a
+    # shared session: compare against the pre-test cached set)
+    rdds_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert rdds_after <= rdds_before, (
+        f"cut_spans leaked cached RDDs: {rdds_after - rdds_before}")
+
+
+def test_cut_spans_recomputes_enrichments(spark, tmpdir_):
+    """The stored-enrichment == recomputed invariant (which incremental
+    dedup relies on) must survive a text rewrite."""
+    from tapdata_connectors_spark.streaming import cut_spans
+
+    pages = [
+        ("e/a", _H.format(_SPAN8 + " unique tail one")),
+        ("e/b", _H.format(_SPAN8 + " other ending two")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages,
+                           enrich=["fingerprint", "simhash"])
+    cut_spans(pipe, n=3, min_span=8, tag="t1")
+    chk = pipe.table.read().select(
+        "url",
+        (F.col("fingerprint") == corpus.fingerprint(F.col("text")))
+        .alias("fp_ok"),
+        (F.col("simhash") == corpus.simhash_col(F.col("text")))
+        .alias("sh_ok"),
+    ).collect()
+    assert chk and all(r["fp_ok"] and r["sh_ok"] for r in chk)
+
+
+def test_cut_spans_preserves_lww(spark, tmpdir_):
+    """The rewrite keeps the stored (ts, seq): an old redelivery stays
+    stale against the cut text; a genuinely newer event overwrites it."""
+    import datetime
+
+    from tapdata_connectors_spark.schema import EVENTS_SCHEMA
+    from tapdata_connectors_spark.streaming import cut_spans
+
+    pages = [
+        ("l/a", _H.format(_SPAN8 + " unique tail one")),
+        ("l/b", _H.format(_SPAN8 + " other ending two")),
+    ]
+    pipe = _bootstrap_pipe(spark, tmpdir_, pages)
+    cut_spans(pipe, n=3, min_span=8, tag="t1")
+
+    def ins(seq, epoch, ts, body):
+        return Row(event_seq=seq, epoch=epoch, op="I", url="l/a", warc_ts=ts,
+                   before=None,
+                   after=Row(url="l/a", warc_ts=ts,
+                             html=_H.format(body).encode(), lang="en"),
+                   removed_fields=None, extras=None, ddl=None,
+                   exactly_once_id=f"x{seq}", ts_ms=None)
+
+    ev = spark.createDataFrame([
+        ins(50, 0, datetime.datetime(2020, 1, 1), "stale redelivery"),
+        ins(100, 1, datetime.datetime(2027, 1, 1), "fresh recrawl"),
+    ], schema=EVENTS_SCHEMA)
+    stage_events(ev, f"{tmpdir_}/staging")
+    pipe.replay_batch()
+    rows = {r["url"]: r["text"]
+            for r in pipe.table.read().select("url", "text").collect()}
+    assert rows["l/a"] == "fresh recrawl"          # newer event wins
+    assert rows["l/b"] == "other ending two"       # cut text stands
+
 
 def test_prune_pages_quality_gate(spark, tmpdir_):
     from tapdata_connectors_spark.streaming import find_low_quality_pages, prune_pages
