@@ -340,15 +340,43 @@ def exact_substring_cut_full(df: DataFrame, n: int = 5, min_span: int = 10,
                                 cache_registry)
 
 
-def _exact_substring_cut(df: DataFrame, n: int, min_span: int,
-                         id_col: str, text_col: str,
-                         cache_registry: list | None) -> DataFrame:
-    from pyspark.sql import Window
-
-    grams = df.select(
+def positional_grams(df: DataFrame, n: int, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, gh) — every word n-gram of every document with its
+    token position and cross-engine hash (md5_slice, 15 hex chars). The
+    shared front half of the exact-substring operators; map-only."""
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
     ).select("doc_id", "pos", md5_slice(F.col("gram"), 15).alias("gh"))
+
+
+def exact_substring_cut_probed(df: DataFrame, dup_gh: DataFrame,
+                               n: int = 5, min_span: int = 10,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               grams: DataFrame | None = None) -> DataFrame:
+    """exact_substring_cut against an EXTERNAL duplicated-gram set: rows
+    of `dup_gh` (single column `gh`) are the grams whose CORPUS-WIDE
+    document frequency exceeds 1 — typically probed from the persisted
+    gram index (streaming/gramidx.py) instead of recomputed, so the pass
+    costs O(|df| + probe), not O(corpus). `grams` optionally supplies
+    precomputed positional_grams(df, n) to avoid a second tokenize when
+    the caller already built them for the probe."""
+    if grams is None:
+        grams = positional_grams(df, n, id_col, text_col)
+    dup_pos = (
+        grams.filter(F.col("gh").isNotNull())
+        .join(dup_gh.select("gh").distinct(), "gh")
+        .select("doc_id", "pos")
+    )
+    return _cut_rebuild(df, dup_pos, n, min_span, id_col, text_col)
+
+
+def _exact_substring_cut(df: DataFrame, n: int, min_span: int,
+                         id_col: str, text_col: str,
+                         cache_registry: list | None) -> DataFrame:
+    grams = positional_grams(df, n, id_col, text_col)
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
         cache_registry.append(grams)
@@ -357,11 +385,25 @@ def _exact_substring_cut(df: DataFrame, n: int, min_span: int,
         .select("doc_id", "gh").distinct()
         .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    ranges = (
+    dup_pos = (
         grams.filter(F.col("gh").isNotNull())
         .join(docfreq.filter(F.col("n_docs") > 1).select("gh"), "gh")
         .select("doc_id", "pos")
+    )
+    return _cut_rebuild(df, dup_pos, n, min_span, id_col, text_col)
+
+
+def _cut_rebuild(df: DataFrame, dup_pos: DataFrame, n: int, min_span: int,
+                 id_col: str, text_col: str) -> DataFrame:
+    """Back half of the exact-substring cut: duplicated positions →
+    gaps-and-islands spans ≥ min_span → covered positions → surviving
+    tokens rejoined. `dup_pos` is (doc_id, pos) for every token position
+    opening a cross-document duplicated n-gram."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ranges = (
+        dup_pos
         .withColumn("island", F.col("pos") - F.row_number().over(w))
         .groupBy("doc_id", "island")
         .agg(F.min("pos").alias("start"), F.count(F.lit(1)).alias("run"))

@@ -8,6 +8,12 @@ from tapdata_connectors_spark.streaming.curation import (
     prune_pages,
 )
 from tapdata_connectors_spark.streaming.driver import CdcPipeline
+from tapdata_connectors_spark.streaming.gramidx import (
+    create_gram_index,
+    cut_spans_incremental,
+    gramidx_watermark,
+    refresh_gram_index,
+)
 from tapdata_connectors_spark.streaming.rollup import (
     create_rollup_table,
     refresh_rollup,
@@ -18,4 +24,6 @@ from tapdata_connectors_spark.streaming.stateful import seq_continuity_monitor
 __all__ = ["CdcPipeline", "cut_spans", "dedup_pages", "find_cut_rewrites",
            "find_dup_pages", "find_new_dup_pages", "find_low_quality_pages",
            "prune_pages", "seq_continuity_monitor", "create_rollup_table",
-           "refresh_rollup", "rollup_watermark"]
+           "refresh_rollup", "rollup_watermark", "create_gram_index",
+           "cut_spans_incremental", "gramidx_watermark",
+           "refresh_gram_index"]

@@ -601,87 +601,103 @@ def cut_spans(pipe, n: int = 5, min_span: int = 10, tag: str = "0",
     (the natural extension at 10-TB/day ingest; the full pass here is
     one linear inventory build, the same cost class as a full near-dup
     pass)."""
-    from tapdata_connectors_spark.streaming.driver import ENRICHMENTS
-
     t0 = time.time()
     t = pipe.init_table()
     epoch_key = f"curation:cutspans:{tag}"
     if t.epoch_applied(epoch_key):
         return {"skipped": True, "epoch_key": epoch_key}
 
-    key = t.manifest().key
-    from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
-    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
-
     caches: list = []
     rw = find_cut_rewrites(pipe, n=n, min_span=min_span,
                            cache_registry=caches)
     rw = rw.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # one job: touched buckets + rewrite count + payload bytes
-        # (broadcast sizing includes the cleaned text riding the join)
-        per_b = (
-            rw.groupBy(t.bucket_expr(key).alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.length(key) + F.length("_cleaned")).alias("kb"))
-            .collect()
+        return _apply_cut_rewrites(
+            pipe, t, rw, epoch_key,
+            {"op": "cut_spans", "n": n, "min_span": min_span},
+            dry_run, t0,
         )
-        touched = sorted(r["b"] for r in per_b)
-        n_rewrites = sum(r["n"] for r in per_b)
-        pay_bytes = sum(r["kb"] or 0 for r in per_b)
-        if dry_run or not touched:
-            return {"n_rewrites": n_rewrites, "touched_buckets": touched,
-                    "dry_run": dry_run, "epoch_key": epoch_key,
-                    "version": t.current_version()}
-
-        pinned = t.current_version()
-        snap = t.manifest(pinned)
-        tset = set(touched)
-        consumed = {f["path"] for f in snap.files if f["bucket"] in tset}
-        resolved = t.read_raw(version=pinned, buckets=touched).withColumn(
-            "_mb", t.bucket_expr()
-        )
-        side = rw
-        if pay_bytes <= BROADCAST_KEY_BYTES:
-            side = F.broadcast(side)
-        rewritten = F.col("_cleaned").isNotNull()
-        flipped = resolved.join(side, key, "left").withColumn(
-            text_name,
-            F.when(rewritten, F.col("_cleaned")).otherwise(F.col(text_name)),
-        )
-        for fid, ename in pipe._enrich_ids.items():
-            cur = pipe._current_name_of(fid)
-            if cur is not None:
-                builder, typ = ENRICHMENTS[ename]
-                flipped = flipped.withColumn(
-                    cur,
-                    F.when(rewritten,
-                           builder(F.col(text_name)).cast(typ))
-                    .otherwise(F.col(cur)),
-                )
-        flipped = flipped.drop("_cleaned")
-        entries = t.write_data_files(flipped, "_mb")
-        version = t.commit_files(
-            entries,
-            replaced_paths=consumed,
-            epoch_key=epoch_key,
-            summary={"op": "cut_spans", "n_rewrites": n_rewrites,
-                     "n": n, "min_span": min_span},
-        )
-        wall_ms = int((time.time() - t0) * 1000)
-        for r in per_b:
-            pipe._lineage_rows.append((
-                CURATION_EPOCH, 0, int(r["b"]), None, None, int(r["n"]),
-                0, int(r["n"]), 0, 0, 0, 0, int(r["n"]), 0, wall_ms,
-            ))
-        pipe.flush_lineage()
-        return {"n_rewrites": n_rewrites, "touched_buckets": touched,
-                "version": version, "epoch_key": epoch_key,
-                "wall_ms": wall_ms}
     finally:
         rw.unpersist(blocking=True)
         for c in caches:
             c.unpersist(blocking=True)
+
+
+def _apply_cut_rewrites(pipe, t, rw, epoch_key: str, summary: dict,
+                        dry_run: bool, t0: float) -> dict:
+    """Commit (key, _cleaned) text rewrites through a compaction-style
+    touched-bucket rewrite — the shared back half of cut_spans and the
+    incremental gram-index cut (streaming/gramidx.py). `rw` must already
+    be persisted by the caller (it is traversed twice: sizing + join).
+    Enrichment columns derived from the text are recomputed for rewritten
+    rows in the same projection; untouched rows pass through
+    byte-identically; stored (ts, seq) is preserved (LWW survives)."""
+    from tapdata_connectors_spark.streaming.driver import (
+        ENRICHMENTS,
+        _TEXT_FIELD_ID,
+    )
+
+    key = t.manifest().key
+    text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
+    # one job: touched buckets + rewrite count + payload bytes
+    # (broadcast sizing includes the cleaned text riding the join)
+    per_b = (
+        rw.groupBy(t.bucket_expr(key).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length(key) + F.length("_cleaned")).alias("kb"))
+        .collect()
+    )
+    touched = sorted(r["b"] for r in per_b)
+    n_rewrites = sum(r["n"] for r in per_b)
+    pay_bytes = sum(r["kb"] or 0 for r in per_b)
+    if dry_run or not touched:
+        return {"n_rewrites": n_rewrites, "touched_buckets": touched,
+                "dry_run": dry_run, "epoch_key": epoch_key,
+                "version": t.current_version()}
+
+    pinned = t.current_version()
+    snap = t.manifest(pinned)
+    tset = set(touched)
+    consumed = {f["path"] for f in snap.files if f["bucket"] in tset}
+    resolved = t.read_raw(version=pinned, buckets=touched).withColumn(
+        "_mb", t.bucket_expr()
+    )
+    side = rw
+    if pay_bytes <= BROADCAST_KEY_BYTES:
+        side = F.broadcast(side)
+    rewritten = F.col("_cleaned").isNotNull()
+    flipped = resolved.join(side, key, "left").withColumn(
+        text_name,
+        F.when(rewritten, F.col("_cleaned")).otherwise(F.col(text_name)),
+    )
+    for fid, ename in pipe._enrich_ids.items():
+        cur = pipe._current_name_of(fid)
+        if cur is not None:
+            builder, typ = ENRICHMENTS[ename]
+            flipped = flipped.withColumn(
+                cur,
+                F.when(rewritten,
+                       builder(F.col(text_name)).cast(typ))
+                .otherwise(F.col(cur)),
+            )
+    flipped = flipped.drop("_cleaned")
+    entries = t.write_data_files(flipped, "_mb")
+    version = t.commit_files(
+        entries,
+        replaced_paths=consumed,
+        epoch_key=epoch_key,
+        summary={**summary, "n_rewrites": n_rewrites},
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    for r in per_b:
+        pipe._lineage_rows.append((
+            CURATION_EPOCH, 0, int(r["b"]), None, None, int(r["n"]),
+            0, int(r["n"]), 0, 0, 0, 0, int(r["n"]), 0, wall_ms,
+        ))
+    pipe.flush_lineage()
+    return {"n_rewrites": n_rewrites, "touched_buckets": touched,
+            "version": version, "epoch_key": epoch_key,
+            "wall_ms": wall_ms}
 
 
 def find_low_quality_pages(pipe, policy: dict | None = None) -> DataFrame:
