@@ -243,6 +243,36 @@ def mp4_meta(data: bytes) -> dict:
             "duration": dur, "n_samples": n_samples}
 
 
+def mp4_codec_info(data: bytes) -> dict:
+    """Codec identity of the video track from the stsd sample entry:
+    {'codec': fourcc, 'avcc': parsed-record-or-None}. For 'avc1'/'avc3'
+    entries the embedded AVCDecoderConfigurationRecord parses through
+    functions/h264.parse_avcc (profile/level, NAL length size, SPS/PPS
+    with derived width/height); other codecs report the fourcc alone."""
+    from tapdata_connectors_spark.functions.h264 import parse_avcc
+
+    data = bytes(data)
+    moov = _find(data, 0, len(data), "moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    stbl = _stbl(data, _video_trak(data, moov))
+    stsd = _find(data, *stbl, "stsd")
+    if stsd is None:
+        raise ValueError("MP4 stbl missing stsd")
+    # full box header (version/flags + entry_count) precedes the entries
+    entry_start = stsd[0] + 8
+    (ln,) = struct.unpack(">I", data[entry_start:entry_start + 4])
+    fourcc = data[entry_start + 4:entry_start + 8].decode("latin1")
+    out = {"codec": fourcc, "avcc": None}
+    if fourcc in ("avc1", "avc3"):
+        found = _find(data, entry_start + 8 + 78,
+                      entry_start + ln, "avcC")
+        if found is None:
+            raise ValueError("avc1 sample entry missing avcC")
+        out["avcc"] = parse_avcc(data[found[0]:found[1]])
+    return out
+
+
 def mp4_samples(data: bytes) -> list[tuple[int, bytes]]:
     """[(timestamp, encoded_sample_bytes)] for the video track, in
     decode order — stsz + stsc + stco/co64 resolution, timestamps from
@@ -325,12 +355,31 @@ def _box(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload) + 8) + typ + payload
 
 
+def avc1_sample_entry(width: int, height: int, avcc: bytes) -> bytes:
+    """An 'avc1' VisualSampleEntry wrapping an AVCDecoderConfiguration-
+    Record (ISO/IEC 14496-15 §5.3.4) — pass as mux_mp4's codec_entry to
+    build real H.264-in-MP4 fixtures."""
+    visual = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12    # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved + frames
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    )
+    return _box(b"avc1", visual + _box(b"avcC", avcc))
+
+
 def mux_mp4(frames: list[bytes], width: int = 64, height: int = 48,
-            timescale: int = 1000, sample_delta: int = 40) -> bytes:
+            timescale: int = 1000, sample_delta: int = 40,
+            codec_entry: bytes | None = None) -> bytes:
     """Minimal valid-enough MP4 for round-trip fixtures: ftyp (24 bytes,
     so the standard 0x18-ftyp magic applies) + one mdat holding all
     samples in one chunk + moov with a full stbl. Samples are opaque
-    bytes (a real encoder's access units would slot in unchanged)."""
+    bytes (a real encoder's access units would slot in unchanged);
+    `codec_entry` replaces the placeholder mp4v stsd entry (see
+    avc1_sample_entry for the H.264 form)."""
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"iso2")
     assert len(ftyp) == 0x18
     mdat_payload = b"".join(frames)
@@ -339,9 +388,10 @@ def mux_mp4(frames: list[bytes], width: int = 64, height: int = 48,
 
     n = len(frames)
     duration = n * sample_delta
-    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(
+    entry = codec_entry if codec_entry is not None else _box(
         b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70
-    ))
+    )
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
     stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, sample_delta))
     stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
     stsz = _box(b"stsz", struct.pack(">III", 0, 0, n)

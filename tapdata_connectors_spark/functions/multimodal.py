@@ -346,3 +346,103 @@ def video_meta(df: DataFrame, id_col: str = "id",
         "id long, width int, height int, timescale int, duration long, "
         "n_samples long",
     )
+
+
+def video_codec_meta(df: DataFrame, id_col: str = "id",
+                     bin_col: str = "video") -> DataFrame:
+    """(id, codec, profile_idc, level_idc, coded_width, coded_height,
+    entropy_mode, n_samples, n_keyframes) per MP4 blob — BITSTREAM-level
+    metadata, not container fields: for avc1 tracks the dimensions come
+    from the SPS itself (functions/h264.parse_sps crop arithmetic), the
+    entropy mode from the PPS, and keyframes from per-sample NAL walks
+    (nal_unit_type 5 = IDR) using the avcC's NAL length size. Exactly
+    what a training pipeline filters/samples on: resolution from the
+    stream (container lies happen), GOP keyframe density, CABAC-vs-CAVLC
+    as a transcode-cost proxy. Non-AVC tracks report their fourcc with
+    codec fields null. Map-only mapInPandas; bytes never shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tapdata_connectors_spark.functions.h264 import (
+            nal_type,
+            split_avcc,
+        )
+        from tapdata_connectors_spark.functions.mp4 import (
+            mp4_codec_info,
+            mp4_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                info = mp4_codec_info(b)
+                samples = mp4_samples(b)
+                if info["avcc"] is None:
+                    rows.append((i, info["codec"], None, None, None, None,
+                                 None, len(samples), None))
+                    continue
+                rec = info["avcc"]
+                sps = rec["sps"][0]
+                nks = 0
+                for _, sb in samples:
+                    if any(nal_type(n) == 5
+                           for n in split_avcc(sb, rec["nal_length_size"])):
+                        nks += 1
+                rows.append((
+                    i, info["codec"], rec["profile_idc"], rec["level_idc"],
+                    sps["width"], sps["height"],
+                    rec["pps"][0]["entropy_mode"], len(samples), nks,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "id", "codec", "profile_idc", "level_idc", "coded_width",
+                "coded_height", "entropy_mode", "n_samples", "n_keyframes",
+            ])
+
+    return df.mapInPandas(
+        gen,
+        "id long, codec string, profile_idc int, level_idc int, "
+        "coded_width int, coded_height int, entropy_mode string, "
+        "n_samples long, n_keyframes long",
+    )
+
+
+def video_keyframe_sample(df: DataFrame, id_col: str = "id",
+                          bin_col: str = "video") -> DataFrame:
+    """One row per IDR access unit: (id, sample_idx, ts, frame_num,
+    n_bytes) — keyframe-only frame sampling, the decode-cheap selection a
+    video training pipeline extracts stills at (an IDR decodes without
+    reference frames). Slice headers parse for real (frame_num from the
+    SPS-specified field width); the residual decode stays gated
+    (functions/h264.decode_slice_data). One-to-many map-only
+    mapInPandas — the fan-out happens inside the task."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tapdata_connectors_spark.functions.h264 import (
+            nal_type,
+            parse_slice_header,
+            split_avcc,
+        )
+        from tapdata_connectors_spark.functions.mp4 import (
+            mp4_codec_info,
+            mp4_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                rec = mp4_codec_info(b)["avcc"]
+                if rec is None:
+                    raise ValueError(
+                        "video_keyframe_sample needs an avc1/avc3 track")
+                sps = rec["sps"][0]
+                for idx, (ts, sb) in enumerate(mp4_samples(b)):
+                    for n in split_avcc(sb, rec["nal_length_size"]):
+                        if nal_type(n) == 5:
+                            h = parse_slice_header(n, sps)
+                            rows.append((i, idx, ts, h["frame_num"],
+                                         len(sb)))
+                            break
+            yield pd.DataFrame(rows, columns=[
+                "id", "sample_idx", "ts", "frame_num", "n_bytes"])
+
+    return df.mapInPandas(
+        gen,
+        "id long, sample_idx int, ts long, frame_num int, n_bytes long",
+    )

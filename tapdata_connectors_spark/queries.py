@@ -1765,6 +1765,81 @@ FROM documents
 """
 
 
+def q_multimodal_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec video path (round 5, the last named codec gap): per
+    document, a deterministic H.264-in-MP4 clip is built from genuine
+    bitstream bytes — a conformant SPS (with real frame-cropping fields,
+    functions/h264.build_sps) + PPS wrapped in an avcC record inside an
+    avc1 sample entry (functions/mp4.avc1_sample_entry), and one
+    length-prefixed IDR/non-IDR slice NAL per sample on an I-P-P GOP —
+    then video_codec_meta parses it all back at the BITSTREAM level:
+    Exp-Golomb SPS decode (dimensions from crop arithmetic, not the
+    container), PPS entropy mode, per-sample NAL walks for keyframes.
+    Every field is closed-form in the doc's text length, so the DuckDB
+    oracle states the expected metadata exactly. Entropy decode of slice
+    residuals stays gated by name (h264.decode_slice_data). Both stages
+    map-only Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    from tapdata_connectors_spark.functions import multimodal as mm
+    from tapdata_connectors_spark.functions.h264 import (
+        build_avcc,
+        build_pps,
+        build_slice_nal,
+        build_sps,
+        join_avcc,
+    )
+    from tapdata_connectors_spark.functions.mp4 import (
+        avc1_sample_entry,
+        mux_mp4,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                nb = len(t.encode("utf-8"))
+                w = 16 * (1 + nb % 3) - 2 * (nb % 4)
+                h = 16 * (1 + nb % 2) - 2 * (nb % 3)
+                n = 2 + nb % 4
+                avcc = build_avcc(build_sps(w, h), build_pps())
+                samples = [
+                    join_avcc([build_slice_nal(
+                        idr=(k % 3 == 0), frame_num=k,
+                        slice_type=2 if k % 3 == 0 else 0)])
+                    for k in range(n)
+                ]
+                rows.append((int(i), mux_mp4(
+                    samples, width=w, height=h,
+                    codec_entry=avc1_sample_entry(w, h, avcc))))
+            yield pd.DataFrame(rows, columns=["id", "vid"])
+
+    vids = docs.mapInPandas(enc, "id long, vid binary")
+    return mm.video_codec_meta(vids, bin_col="vid").select(
+        F.col("id").alias("doc_id"), "codec", "profile_idc", "level_idc",
+        "coded_width", "coded_height", "entropy_mode", "n_samples",
+        "n_keyframes",
+    )
+
+
+SQL_MULTIMODAL_H264_META = """
+SELECT doc_id,
+       'avc1' AS codec,
+       CAST(66 AS INTEGER) AS profile_idc,
+       CAST(30 AS INTEGER) AS level_idc,
+       CAST(16 * (1 + strlen(text) % 3) - 2 * (strlen(text) % 4)
+            AS INTEGER) AS coded_width,
+       CAST(16 * (1 + strlen(text) % 2) - 2 * (strlen(text) % 3)
+            AS INTEGER) AS coded_height,
+       'cavlc' AS entropy_mode,
+       CAST(2 + strlen(text) % 4 AS BIGINT) AS n_samples,
+       CAST((strlen(text) % 4 + 4) // 3 AS BIGINT) AS n_keyframes
+FROM documents
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: document bytes packed as FVID blobs
     (16-byte frames, tail dropped), then every 4th frame emitted as its
@@ -2339,6 +2414,7 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_detect": q_dup_span_detect,
     "dup_span_cut": q_dup_span_cut,
     "unigram_surprisal": q_unigram_surprisal,
+    "multimodal_h264_meta": q_multimodal_h264_meta,
 }
 
 AUX_ORACLE_SQL: dict[str, str] = {
@@ -2348,6 +2424,7 @@ AUX_ORACLE_SQL: dict[str, str] = {
     "dup_span_detect": SQL_DUP_SPAN_DETECT,
     "dup_span_cut": SQL_DUP_SPAN_CUT,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+    "multimodal_h264_meta": SQL_MULTIMODAL_H264_META,
 }
 
 assert len(QUERIES) <= 50, "round driver verifies at most 50 registry rows"
