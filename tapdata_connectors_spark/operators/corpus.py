@@ -1230,6 +1230,7 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                    cache_registry: list | None = None,
                    spill_dir: str | None = None,
                    driver_threshold: int = 2_000_000,
+                   steps_per_spill: int = 4,
                    _round_hook=None) -> DataFrame:
     """(doc_id, component_id) for every vertex of the verified-duplicate
     graph: component_id = the component's minimum id. GraphFrames-free
@@ -1249,8 +1250,11 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
 
     * above the threshold (or driver_threshold=0 to force it): iterative
       min-label propagation — each round every vertex takes min(own,
-      neighbors' labels) until a fixpoint. Each round's labels frame is
-      spilled to PARQUET under `spill_dir` (VERDICT r4 item 1: the
+      neighbors' labels) until a fixpoint. `steps_per_spill` rounds chain
+      into ONE Spark plan per spill window (fixed per-job overhead is
+      what a sparse dup graph's rounds actually pay; see the in-loop
+      comment), then the window's labels frame is spilled to PARQUET
+      under `spill_dir` (VERDICT r4 item 1: the
       previous eager localCheckpoint pinned blocks to executor-local
       storage with no lineage — one executor loss mid-loop, or even
       after it, killed the job at cluster scale; parquet rounds are
@@ -1308,7 +1312,7 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
         return _dup_components_distributed(
             spark, edges, out_schema, max_iters=max_iters,
             cache_registry=cache_registry, spill_dir=spill_dir,
-            _round_hook=_round_hook,
+            steps_per_spill=steps_per_spill, _round_hook=_round_hook,
         )
     finally:
         edges.unpersist(blocking=True)
@@ -1318,6 +1322,7 @@ def _dup_components_distributed(spark, edges: DataFrame, out_schema,
                                 max_iters: int,
                                 cache_registry: list | None,
                                 spill_dir: str | None,
+                                steps_per_spill: int = 4,
                                 _round_hook=None) -> DataFrame:
     """Min-label propagation with reliable per-round parquet spill; see
     dup_components. `edges` arrives persisted (caller-owned)."""
@@ -1333,37 +1338,79 @@ def _dup_components_distributed(spark, edges: DataFrame, out_schema,
 
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct()
+    selfed = None
     try:
-        (und.select(F.col("src").alias("id")).distinct()
-            .withColumn("label", F.col("id"))
+        # One-time PARQUET spill of the self-looped symmetric edge list.
+        # A cache-only persist here was measured 8 s SLOWER on the live
+        # simhash pipeline at sf0.1: the first window's chained plan
+        # references the edge frame K times, and concurrent stages racing
+        # an unmaterialized cache recompute the expensive upstream
+        # candidate/verify lineage repeatedly. Parquet-backed, a cache
+        # miss (or a lost executor — VERDICT r4 item 1) re-reads two long
+        # columns instead of re-running the whole dedup pipeline.
+        (und.union(
+            und.select(F.col("src").alias("src"), F.col("src").alias("dst"))
+            .union(und.select(F.col("dst").alias("src"),
+                              F.col("dst").alias("dst"))))
+         .distinct()
+         .write.mode("overwrite").parquet(posixpath.join(run, "edges")))
+        selfed = (spark.read.parquet(posixpath.join(run, "edges"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        # vertices = the self-loop rows of the (distinct) edge frame —
+        # no extra shuffle for the initial labels
+        (selfed.where(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("id"), F.col("src").alias("label"))
             .write.mode("overwrite").parquet(_round_path(0)))
         labels = spark.read.parquet(_round_path(0)).select("id", "label")
-        for i in range(1, max_iters + 1):
-            msgs = und.join(
-                labels.select(F.col("id").alias("src"), "label"), "src"
-            ).select(F.col("dst").alias("id"), "label")
-            new_labels = (
-                labels.union(msgs)
-                .groupBy("id").agg(F.min("label").alias("label"))
-            )
-            (new_labels
+        # K propagation steps chained into ONE plan per spill window:
+        # a round's cost on a sparse dup graph is dominated by fixed
+        # per-job overhead (scheduling + parquet commit + read-back), not
+        # shuffle volume — measured at sf0.1: 14 one-step rounds of a
+        # 512-edge graph cost ~0.85 s EACH, ~95% overhead. Windowing
+        # divides that by K while keeping the plan depth bounded (K
+        # joins+aggs) and fault tolerance intact: every frame in a
+        # window's lineage is either the last spill (reliable parquet) or
+        # derived from it, so executor loss mid-window just recomputes.
+        # The fixpoint check runs per WINDOW (labels vs K-steps-ago): up
+        # to K-1 no-op steps past convergence, each a no-op shuffle of
+        # the label frame, far cheaper than K-1 extra write+read jobs.
+        # self-loops fold "keep own label" into the SAME join as the
+        # neighbor messages, so each step references the previous labels
+        # frame exactly ONCE — the labels.union(msgs) formulation
+        # references it twice (directly + via msgs), doubling the plan
+        # tree per chained step (2^K leaves; measured 7 s/window vs
+        # ~1.3 s with the linear chain)
+        taken = 0
+        window = 0
+        changed = True
+        while changed and taken < max_iters:
+            steps = min(steps_per_spill, max_iters - taken)
+            cur = labels
+            for _ in range(steps):
+                cur = (
+                    selfed.join(
+                        cur.select(F.col("id").alias("src"), "label"), "src")
+                    .select(F.col("dst").alias("id"), "label")
+                    .groupBy("id").agg(F.min("label").alias("label"))
+                )
+            taken += steps
+            window += 1
+            (cur
                 .join(labels.select("id", F.col("label").alias("old")), "id")
                 .select("id", "label",
                         (F.col("label") != F.col("old")).alias("chg"))
-                .write.mode("overwrite").parquet(_round_path(i)))
+                .write.mode("overwrite").parquet(_round_path(window)))
             if _round_hook is not None:
-                _round_hook(spark, i)
-            cur = spark.read.parquet(_round_path(i))
+                _round_hook(spark, window)
+            cur = spark.read.parquet(_round_path(window))
             changed = bool(cur.where("chg").head(1))
             labels = cur.select("id", "label")
-            _rm_recursive(spark, _round_path(i - 1))
-            if not changed:
-                break
-        else:
+            _rm_recursive(spark, _round_path(window - 1))
+        if changed:
             _rm_recursive(spark, run)
             raise RuntimeError(
-                f"dup_components did not converge in {max_iters} rounds "
+                f"dup_components did not converge in {max_iters} steps "
                 "(graph diameter exceeds the bound — raise max_iters)"
             )
         out = labels.select(
@@ -1381,7 +1428,8 @@ def _dup_components_distributed(spark, edges: DataFrame, out_schema,
         _rm_recursive(spark, run)
         raise
     finally:
-        und.unpersist(blocking=True)
+        if selfed is not None:
+            selfed.unpersist(blocking=True)
 
 
 def component_losers(pairs: DataFrame, id_col: str = "doc_id",
