@@ -508,6 +508,83 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     cache_registry: list | None = None) -> DataFrame:
+    """Conditional-LM quality proxy, one order up from unigram_surprisal:
+    per-bigram surprisal -log2 p(w2|w1) approximated INTEGER-EXACTLY by
+    bit lengths — bits(w1,w2) = bitlen(ctx_cnt(w1)) - bitlen(cnt(w1,w2)),
+    where ctx_cnt(w1) is w1's corpus count as a bigram HEAD (the exact
+    conditional denominator: sum over w2' of cnt(w1,w2')), summed per
+    document and normalized ×1e3. A document of common words in an
+    unusual ORDER scores high here while scoring low under the unigram
+    proxy — the CCNet observation (Wenzek et al. 2020) that wellformed-
+    ness is a property of transitions, not vocabulary. No float log
+    anywhere, so the DuckDB oracle compares bit-for-bit.
+
+    Shape at 100 TB: bigrams are built MAP-SIDE as an array zip (no
+    per-doc self-join on position), then one explode of skinny
+    (doc_id, h1, h12) rows, one count by (h1, h12), one re-agg of that
+    already-reduced frame by h1 for the context totals, one join back —
+    linear, hash-partitioned, the same inventory shape as
+    cross_doc_ngram_stats. AQE's skew join covers hot heads
+    (stopword-led bigrams)."""
+    t = tokens(F.col(text_col))
+    # bigram strings zipped map-side; tokens are \s+-split so the single
+    # space is an unambiguous separator. size<2 → empty array (slice
+    # with a negative length would throw); explode_outer keeps the doc.
+    bigram_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(bigram_arr).alias("bg"),
+    ).select(
+        "doc_id",
+        md5_slice(F.substring_index(F.col("bg"), " ", 1), 15).alias("h1"),
+        md5_slice(F.col("bg"), 15).alias("h12"),
+    )
+    big = big.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(big)
+    cnt = (
+        big.filter(F.col("h12").isNotNull())
+        .groupBy("h1", "h12").agg(F.count(F.lit(1)).alias("cnt12"))
+    )
+    # context totals from the REDUCED bigram-count frame (|distinct
+    # bigrams| rows), not the raw explode — a second cheap agg
+    ctx = cnt.groupBy("h1").agg(F.sum("cnt12").alias("ctx_cnt"))
+    bits = (
+        big.join(cnt.join(ctx, "h1"), ["h1", "h12"], "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("h12").isNotNull(),
+                F.length(F.bin(F.col("ctx_cnt")))
+                - F.length(F.bin(F.col("cnt12"))),
+            ).alias("bits"),
+        )
+    )
+    per_doc = bits.groupBy("doc_id").agg(
+        F.count(F.col("bits")).alias("n_bigrams"),
+        F.sum("bits").alias("surprisal_bits"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("surprisal_bits"), F.lit(0)).cast("long")
+        .alias("surprisal_bits"),
+        F.when(F.col("n_bigrams") > 0,
+               F.floor(F.col("surprisal_bits") * 1000 / F.col("n_bigrams")))
+        .otherwise(F.lit(None)).cast("long").alias("bits_per_bigram_x1e3"),
+    )
+
+
 def gopher_quality(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    min_words: int = 5, max_words: int = 100000,

@@ -757,6 +757,47 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-LM quality proxy, integer-exact: per-doc mean bigram
+    surprisal -log2 p(w2|w1) via bit lengths over corpus bigram stats
+    (ctx_cnt = the head's bigram-head count, the exact conditional
+    denominator). Catches common-words-in-unusual-order documents the
+    unigram proxy scores as fine. Engine op:
+    operators/corpus.bigram_surprisal."""
+    return corpus.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+  FROM tok
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(split_part(bg, ' ', 1)), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS h12
+  FROM bg
+), c AS (SELECT h1, h12, count(*) AS cnt12 FROM hashed GROUP BY h1, h12),
+ctx AS (SELECT h1, CAST(sum(cnt12) AS BIGINT) AS ctx_cnt FROM c GROUP BY h1),
+e AS (
+  SELECT hashed.doc_id,
+         length(format('{:b}', ctx.ctx_cnt))
+         - length(format('{:b}', CAST(c.cnt12 AS BIGINT))) AS bits
+  FROM hashed JOIN c USING (h1, h12) JOIN ctx USING (h1)
+), per AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS s FROM e GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(p.s, 0) AS BIGINT) AS surprisal_bits,
+  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+       THEN CAST(floor(p.s * 1000 / p.n_bigrams) AS BIGINT) END AS bits_per_bigram_x1e3
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (Rae et al. 2021 table A1):
     word-count band, mean-word-length band, duplicate-2-gram ceiling,
@@ -2414,6 +2455,7 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_detect": q_dup_span_detect,
     "dup_span_cut": q_dup_span_cut,
     "unigram_surprisal": q_unigram_surprisal,
+    "bigram_surprisal": q_bigram_surprisal,
     "multimodal_h264_meta": q_multimodal_h264_meta,
 }
 
@@ -2424,6 +2466,7 @@ AUX_ORACLE_SQL: dict[str, str] = {
     "dup_span_detect": SQL_DUP_SPAN_DETECT,
     "dup_span_cut": SQL_DUP_SPAN_CUT,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+    "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
     "multimodal_h264_meta": SQL_MULTIMODAL_H264_META,
 }
 

@@ -668,6 +668,26 @@ def test_unigram_surprisal_bit_exact(spark):
     assert rows[3].bits_per_token_x1e3 is None
 
 
+def test_bigram_surprisal_bit_exact(spark):
+    """corpus bigrams: 'a b'=3, 'b a'=1, 'b c'=1; head counts ctx(a)=3,
+    ctx(b)=2 -> bits('a b') = bitlen(3)-bitlen(3) = 0, bits('b a') =
+    bits('b c') = bitlen(2)-bitlen(1) = 1."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b c"),   # bigrams ab ba ab bc
+        Row(doc_id=2, text="a b"),
+        Row(doc_id=3, text="x"),           # 1 token -> no bigrams
+        Row(doc_id=4, text=""),
+    ])
+    rows = {r.doc_id: r for r in corpus.bigram_surprisal(df).collect()}
+    assert rows[1].n_bigrams == 4 and rows[1].surprisal_bits == 2
+    assert rows[1].bits_per_bigram_x1e3 == 500
+    assert rows[2].n_bigrams == 1 and rows[2].surprisal_bits == 0
+    assert rows[2].bits_per_bigram_x1e3 == 0
+    for d in (3, 4):
+        assert rows[d].n_bigrams == 0 and rows[d].surprisal_bits == 0
+        assert rows[d].bits_per_bigram_x1e3 is None
+
+
 def test_gopher_quality_flags(spark):
     df = spark.createDataFrame([
         Row(doc_id=1, text="a sensible document with several distinct words inside it"),
