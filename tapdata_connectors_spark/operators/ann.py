@@ -19,6 +19,8 @@ Everything is built-in JVM expressions; no Python in any per-row path.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -36,13 +38,49 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def _plane_weights_values(p: int, dim: int) -> list[int]:
+    """Python mirror of plane p's md5-derived integer weights — value-
+    identical to the dynamic in-JVM formulation below (and to the DuckDB
+    oracle): weight_i = ('0x'+md5('pl{p}_{i}')[:8]) % 2001 - 1000, i
+    1-based. conv() yields a non-negative < 2^32 long, so pmod == %."""
+    return [
+        int(hashlib.md5(f"pl{p}_{i}".encode()).hexdigest()[:8], 16) % 2001
+        - 1000
+        for i in range(1, dim + 1)
+    ]
+
+
 def hyperplane_bucket(v: Column, n_planes: int = 8,
-                      plane_offset: int = 0) -> Column:
+                      plane_offset: int = 0,
+                      dim: int | None = None) -> Column:
     """Deterministic random-hyperplane LSH bucket id (sign-bit pattern of
     `n_planes` md5-derived integer hyperplanes). Map-only; identical to
     the DuckDB-oracle formulation in queries.py. `plane_offset` selects an
     independent plane set (planes offset..offset+n_planes-1) — the
-    OR-construction bands of cosine_near_dup_multiprobe."""
+    OR-construction bands of cosine_near_dup_multiprobe.
+
+    Pass `dim` (the fixed vector width) whenever it is known: the plane
+    weights depend only on (plane, index), so they are precomputed in
+    Python and emitted as ONE literal array per plane — the md5 hashing
+    moves from PER ROW (dim · n_planes digests for every vector, the
+    dominant bucketing cost) to plan build, and the expression tree
+    shrinks ~10× (measured: the multiprobe query spent 4.9 s of pure
+    driver analysis time on the dynamic trees at sf0.1). The dim=None
+    fallback keeps the dynamic per-row formulation for variable-width
+    callers; both produce identical buckets."""
+    if dim is not None:
+        bits = []
+        for j in range(n_planes):
+            ws = _plane_weights_values(plane_offset + j, dim)
+            w = F.expr("array({})".format(
+                ",".join(f"{x}L" for x in ws)))
+            bits.append(
+                F.when(int_dot(v, w) > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("bigint")
+
     def plane_weights(p: int) -> Column:
         # NB: the lambda must take exactly ONE parameter — F.transform
         # treats a 2-parameter lambda as (element, index), so a `p=p`
@@ -70,6 +108,16 @@ def hyperplane_bucket(v: Column, n_planes: int = 8,
     return out.cast("bigint")
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Fixed vector width, probed from the first non-null row — a
+    bounded one-row metadata job (the same discipline as the broadcast-
+    sizing stats). None for an empty/all-null column, which routes
+    hyperplane_bucket to its dynamic fallback."""
+    row = (df.select(F.size(F.col(vec_col)).alias("d"))
+           .filter(F.col("d").isNotNull() & (F.col("d") > 0)).head())
+    return int(row.d) if row else None
+
+
 def ann_lsh_topk(df: DataFrame, n_queries: int = 3, k: int = 5,
                  n_planes: int = 4, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
@@ -81,7 +129,8 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 3, k: int = 5,
 
     base = df.select(
         F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes,
+                                             dim=_vec_dim(df, vec_col)))
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"),
@@ -115,7 +164,8 @@ def cosine_near_dup(df: DataFrame, threshold_x1e6: int = 300_000,
     """
     base = (
         df.select(F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v"))
-        .withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes,
+                                                dim=_vec_dim(df, vec_col)))
         .withColumn("nrm", int_dot(F.col("v"), F.col("v")))
     )
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -169,11 +219,13 @@ def cosine_near_dup_multiprobe(df: DataFrame, threshold_x1e6: int = 300_000,
     )
     if cache_registry is not None:
         cache_registry.append(base)
+    dim = _vec_dim(df, vec_col)
     bands = F.array(*[
         F.struct(
             F.lit(t).alias("band"),
             hyperplane_bucket(F.col("v"), n_planes,
-                              plane_offset=t * n_planes).alias("bucket"),
+                              plane_offset=t * n_planes,
+                              dim=dim).alias("bucket"),
         )
         for t in range(n_bands)
     ])

@@ -93,8 +93,11 @@ def _enrich_embed_bucket(c):
     # a model embedding at deployment; the bucket math is unchanged)
     from tapdata_connectors_spark.operators import ann, corpus
 
+    # dim=8 == text_embed_col's default width: the enrichment takes a
+    # bare Column (nothing to probe), so the literal-weights fast path
+    # is keyed off the known embedding dimension
     return ann.hyperplane_bucket(
-        ann.scaled_vec(corpus.text_embed_col(c)), n_planes=4
+        ann.scaled_vec(corpus.text_embed_col(c)), n_planes=4, dim=8
     )
 
 
