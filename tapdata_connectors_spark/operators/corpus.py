@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
 import posixpath
 from dataclasses import dataclass
 
@@ -79,6 +80,26 @@ def md5_slice(col: Column, hexchars: int = 8) -> Column:
     (DuckDB equivalent: ('0x' || substr(md5(x), 1, n))::BIGINT; both stay
     positive for hexchars <= 15)."""
     return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("long")
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_perm_consts(p: int) -> tuple[int, int]:
+    """Permutation p's affine constants (a, b), md5-derived and fixed:
+    the standard universal-hash MinHash family mh_p(h) = (a·(h mod P) +
+    b) mod P (Broder; a ∈ [1, P-1], b ∈ [0, P-1], P = 2^31-1). ONE
+    shingle digest feeds every permutation as three codegen integer ops
+    — the previous salted-md5-per-permutation formulation paid n_perms
+    crypto digests per shingle row, the dominant minhash pipeline cost.
+    All products stay < 2^62, so int64 never wraps in any engine; the
+    same (a, b) pairs parameterize the Spark columns, the DuckDB
+    oracles, and the python test oracle."""
+    a = int(hashlib.md5(f"mha{p}".encode()).hexdigest()[:8], 16) \
+        % (MINHASH_PRIME - 1) + 1
+    b = int(hashlib.md5(f"mhb{p}".encode()).hexdigest()[:8], 16) \
+        % MINHASH_PRIME
+    return a, b
 
 
 def fingerprint(text_col: Column, hexchars: int = 16) -> Column:
@@ -808,7 +829,9 @@ def shingle_minhash(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
     tokenize→explode→hash pass and ONE groupBy shuffle. Per-shingle md5s
     run on exploded rows (whole-stage codegen — measured ~5× faster than
     hashing inside array-transform lambdas, which Spark evaluates
-    interpreted). Permutation p = salted rehash md5('<p>|<hash>')."""
+    interpreted). Permutation p = the affine universal hash
+    (a_p·(h mod P) + b_p) mod P — see minhash_perm_consts; ONE digest
+    per shingle feeds all n_perms minima."""
     k = cfg.shingle_k
     d = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
     # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, so short docs
@@ -829,8 +852,9 @@ def shingle_minhash(df: DataFrame, cfg: MinHashConfig = MinHashConfig(),
     )
     aggs = [F.collect_set("h").alias("sh")]
     for p in range(cfg.n_perms):
+        a, b = minhash_perm_consts(p)
         aggs.append(
-            F.min(md5_slice(F.concat(F.lit(f"{p}|"), F.col("h").cast("string"))))
+            F.min(((F.col("h") % MINHASH_PRIME) * a + b) % MINHASH_PRIME)
             .alias(f"mh{p}")
         )
     return rows.groupBy("doc_id").agg(*aggs).withColumn("n", F.size("sh"))
@@ -1083,7 +1107,8 @@ def minhash_sig_col(text_col: Column,
         # single-arg lambda factory: F.transform treats a 2-parameter
         # lambda as (element, index), so a `p=p` default-arg capture would
         # bind the array INDEX to p — a closure keeps the permutation id
-        return lambda h: md5_slice(F.concat(F.lit(f"{p}|"), h.cast("string")))
+        a, b = minhash_perm_consts(p)
+        return lambda h: ((h % MINHASH_PRIME) * a + b) % MINHASH_PRIME
 
     sig = F.array(*[
         F.array_min(F.transform(hs, _perm(p)))

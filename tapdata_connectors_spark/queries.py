@@ -1024,7 +1024,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOC_SHINGLES = f"""
   SELECT doc_id, list(DISTINCT h) AS sh, CAST(count(DISTINCT h) AS INTEGER) AS n,
          {", ".join(
-             "min(" + _MD5_SLICE_SQL.format(x=f"'{p}|' || CAST(h AS VARCHAR)") + f") AS mh{p}"
+             "min(((h % 2147483647) * {a} + {b}) % 2147483647) AS mh{p}".format(
+                 a=corpus.minhash_perm_consts(p)[0],
+                 b=corpus.minhash_perm_consts(p)[1], p=p)
              for p in range(MINHASH_PERMS)
          )}
   FROM (SELECT doc_id, {_MD5_SLICE_SQL.format(x="s")} AS h FROM ({_SQL_SHINGLE_ROWS}))

@@ -48,8 +48,12 @@ def _py_h32(s, hexchars=8):
 
 def _py_minhash(t, n_perms, k=3):
     hs = {_py_h32(s) for s in _py_shingles(t, k)}
-    return [min(_py_h32(f"{p}|{h}") for h in hs) if hs else None
-            for p in range(n_perms)]
+    P = corpus.MINHASH_PRIME
+    out = []
+    for p in range(n_perms):
+        a, b = corpus.minhash_perm_consts(p)
+        out.append(min(((h % P) * a + b) % P for h in hs) if hs else None)
+    return out
 
 
 def test_exact_dup_losers_vs_oracle(spark):
