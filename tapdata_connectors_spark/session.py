@@ -54,3 +54,36 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def submit_session(
+    app_name: str = "tapdata_connectors_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Session factory for `spark-submit` entry points (jobs/replay_job.py).
+
+    Unlike build_session, this NEVER sets a master, deploy mode, or driver
+    memory — those belong to the spark-submit command line (the north
+    rule's `spark-submit --py-files` shape: cluster topology is the
+    operator's decision, not the job's). Only SQL-layer defaults that the
+    engine depends on for correctness/portability are applied, and each
+    yields to an explicit `--conf` from the submit command because
+    getOrCreate() ignores builder conf once the submit-provided session
+    conf exists. shuffle.partitions is left to the cluster default unless
+    the caller passes it via extra_conf or --conf.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "snappy",
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        **(extra_conf or {}),
+    }.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
