@@ -112,18 +112,37 @@ def host_cap_sample(
     host_col: str = "source",
     id_col: str = "doc_id",
     cap: int = 5,
+    n_salts: int = 8,
 ) -> DataFrame:
     """At most `cap` rows per host, picked by deterministic md5 order over
     the id (cross-engine reproducible; no sampling RNG). Returns
-    (id, host, rk) for the kept rows. The window runs over an
-    early-projected 3-column frame, so even a megahost partition is
-    id+host+hash wide, and the per-host sort is bounded by the host's row
-    count, not the corpus."""
+    (id, host, rk) for the kept rows.
+
+    Skew: a per-host row_number window is exactly the shape map-side
+    partial aggregation can NOT protect — a megahost's every row sorts in
+    one task. With n_salts > 1 (default) the window runs through
+    operators/skew.salted_topk: rank within (host, salt), keep `cap` per
+    subgroup (provably a superset of the host's global top-cap), re-rank
+    the <= n_salts*cap survivors — identical output, hot-partition size
+    divided by n_salts. The salt derives from the order key (content
+    hash), so the sample is as deterministic as the single-window
+    formulation (n_salts=1, kept for A/B and for the containment test).
+    The window input is early-projected to 3 columns either way, so even
+    the salted megahost partitions are id+host+hash wide."""
+    from tapdata_connectors_spark.operators.skew import salted_topk
+
     ordkey = F.md5(F.col(id_col).cast("string"))
-    w = W.partitionBy(host_col).orderBy(ordkey, F.col(id_col))
+    slim = df.select(F.col(id_col), F.col(host_col), ordkey.alias("__ord"))
+    if n_salts > 1:
+        return (
+            salted_topk(
+                slim, host_col, ["__ord", id_col], cap,
+                n_salts=n_salts, salt_from=[id_col],
+            ).select(id_col, host_col, "rk")
+        )
+    w = W.partitionBy(host_col).orderBy(F.col("__ord"), F.col(id_col))
     return (
-        df.select(F.col(id_col), F.col(host_col), ordkey.alias("__ord"))
-        .withColumn("rk", F.row_number().over(w))
+        slim.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
         .select(id_col, host_col, "rk")
     )
