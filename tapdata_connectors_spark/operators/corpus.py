@@ -78,8 +78,25 @@ def bpe_token_stats(df: DataFrame, id_col: str = "doc_id",
 def md5_slice(col: Column, hexchars: int = 8) -> Column:
     """First `hexchars` md5 hex chars as BIGINT — the cross-engine hash
     (DuckDB equivalent: ('0x' || substr(md5(x), 1, n))::BIGINT; both stay
-    positive for hexchars <= 15)."""
+    positive for hexchars <= 15). Use where the hash value is OBSERVABLE
+    (minhash digests, simhash bits, sampling buckets, checksums): the
+    oracle reproduces the exact same bytes. For internal-only inventory
+    keys use gram_hash — native and ~1.5× cheaper."""
     return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("long")
+
+
+def gram_hash(col: Column) -> Column:
+    """64-bit inventory key for INTERNAL-only gram/token frames (the hash
+    never appears in any output — each engine recomputes its own, so
+    cross-engine byte-equality is not required and Spark's native
+    xxhash64 wins over the md5-hex-conv chain, measured ~1.5× on the
+    n-gram inventory ops). Null-safe: xxhash64(NULL) returns the SEED,
+    not NULL, which would silently count missing grams — the F.when
+    guard preserves md5_slice's null-propagation contract. 64 bits is
+    also strictly more collision-room than the 60-bit md5 slice; for a
+    10^12-gram corpus, widen to a (xxhash64(x), xxhash64(x, lit(1)))
+    pair rather than reverting to md5."""
+    return F.when(col.isNotNull(), F.xxhash64(col))
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
@@ -241,7 +258,7 @@ def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode_outer(F.array_distinct(word_ngrams(F.col(text_col), n)))
         .alias("gram"),
-    ).select("doc_id", md5_slice(F.col("gram"), 15).alias("gh"))
+    ).select("doc_id", gram_hash(F.col("gram")).alias("gh"))
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
         cache_registry.append(grams)
@@ -291,7 +308,7 @@ def dup_span_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_slice(F.col("gram"), 15).alias("gh"))
+    ).select("doc_id", "pos", gram_hash(F.col("gram")).alias("gh"))
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
         cache_registry.append(grams)
@@ -369,7 +386,7 @@ def positional_grams(df: DataFrame, n: int, id_col: str = "doc_id",
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_slice(F.col("gram"), 15).alias("gh"))
+    ).select("doc_id", "pos", gram_hash(F.col("gram")).alias("gh"))
 
 
 def exact_substring_cut_probed(df: DataFrame, dup_gh: DataFrame,
@@ -494,7 +511,7 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens(F.col(text_col))).alias("tok"),
-    ).select("doc_id", md5_slice(F.col("tok"), 15).alias("th"))
+    ).select("doc_id", gram_hash(F.col("tok")).alias("th"))
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
         cache_registry.append(toks)
@@ -567,8 +584,8 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
         F.explode_outer(bigram_arr).alias("bg"),
     ).select(
         "doc_id",
-        md5_slice(F.substring_index(F.col("bg"), " ", 1), 15).alias("h1"),
-        md5_slice(F.col("bg"), 15).alias("h12"),
+        gram_hash(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
+        gram_hash(F.col("bg")).alias("h12"),
     )
     big = big.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:

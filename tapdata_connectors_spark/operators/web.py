@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from tapdata_connectors_spark.operators.corpus import md5_slice, word_ngrams
+from tapdata_connectors_spark.operators.corpus import gram_hash, word_ngrams
 
 __all__ = [
     "canonical_url",
@@ -164,15 +164,16 @@ def contamination(
     (benchmarks are KBs, corpora are TBs) → broadcast to every executor;
     the corpus side is one explode of distinct-per-doc grams + one
     broadcast join + one per-doc count. No shuffle carries a gram string
-    — grams travel as 60-bit md5 slices (operators/corpus.md5_slice, the
-    cross-engine hash the oracle reproduces)."""
+    — grams travel as 64-bit xxhash64 keys (operators/corpus.gram_hash;
+    internal-only — the oracle recomputes its own inventory, so no
+    cross-engine hash equality is needed)."""
     def grams(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
             F.explode_outer(
                 F.array_distinct(word_ngrams(F.col(text_col), n))
             ).alias("gram"),
-        ).select(id_col, md5_slice(F.col("gram"), 15).alias("gh"))
+        ).select(id_col, gram_hash(F.col("gram")).alias("gh"))
 
     eval_grams = grams(eval_docs).select("gh").distinct()
     cand = grams(docs)

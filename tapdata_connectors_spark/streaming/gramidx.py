@@ -7,7 +7,7 @@ rate. This module keeps that inventory as a PERSISTED, incrementally
 maintained index and runs the cut over only the documents whose
 duplicated-span structure could have changed.
 
-The index IS a LakeTable (key `gh` = md5_slice(gram, 15), payload
+The index IS a LakeTable (key `gh` = gram_hash(gram), payload
 `n_docs` + `solo_doc`), maintained from the corpus table's own
 change-data feed exactly like streaming/rollup.py — but written through
 the MOR delta-append path (lake/delta.py), because the index has
@@ -143,7 +143,7 @@ def _membership_deltas(pipe, t, n: int, since: int, to: int,
             F.explode(F.array_distinct(
                 corpus.word_ngrams(F.col(text_name), n))).alias("_gram"),
         )
-        .select("_doc", "_s", corpus.md5_slice(F.col("_gram"), 15).alias("gh"))
+        .select("_doc", "_s", corpus.gram_hash(F.col("_gram")).alias("gh"))
     )
     adj = (
         mem.groupBy("gh", "_doc").agg(F.sum("_s").alias("_dm"))

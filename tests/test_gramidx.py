@@ -7,12 +7,12 @@ still find."""
 from __future__ import annotations
 
 import datetime
-import hashlib
 import os
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from tapdata_connectors_spark.functions.xxh import spark_xxhash64
 from tapdata_connectors_spark.sources.generator import stage_events
 from tapdata_connectors_spark.streaming import (
     CdcPipeline,
@@ -52,7 +52,8 @@ def _cdc_events(spark, rows):
 
 
 def _gh(gram: str) -> int:
-    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+    # mirrors operators/corpus.gram_hash (Spark xxhash64, seed 42)
+    return spark_xxhash64(gram, "string")
 
 
 def _py_gram_state(texts: dict[str, str], n: int = N):
