@@ -94,6 +94,13 @@ class GeneratorConfig:
     # carry Common-Crawl-like weight (repeat() is cheap to generate and
     # snappy-compressible, but decompressed bytes drive real extraction CPU)
     html_kb: int = 0
+    # outlink anchors per page (opt-in, default 0 = byte-identical html
+    # to earlier rounds): each page embeds n_links deterministic
+    # `<a href="https://site-H.example/p/P">…</a>` anchors over
+    # n_link_hosts synthetic hosts — the fixture for the link-graph
+    # operators (operators/linkgraph.py)
+    n_links: int = 0
+    n_link_hosts: int = 50
 
 
 def _u(salt: int, seed: int, col: F.Column) -> F.Column:
@@ -193,6 +200,19 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
         F.lit("</h1><p>"), words,
         F.lit(" &amp; more</p>"),
     ]
+    # deterministic outlink anchors: target host/page are pure functions
+    # of (seed, anchor slot, event seq), so replayed events carry
+    # byte-identical anchors and the link graph is reproducible
+    for j in range(cfg.n_links):
+        parts += [
+            F.lit('<a href="https://site-'),
+            _h(140 + 2 * j, s, eseq, cfg.n_link_hosts).cast("string"),
+            F.lit(".example/p/"),
+            _h(141 + 2 * j, s, eseq, 1000).cast("string"),
+            F.lit('">ref '),
+            _h(141 + 2 * j, s, eseq, 1000).cast("string"),
+            F.lit("</a>"),
+        ]
     if cfg.html_kb > 0:
         para = (
             "<p>crawl archive capture snapshot render fetch parse index "
