@@ -38,6 +38,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--lineage", default=None,
                    help="lineage/metrics table dir (default: <table>/_lineage)")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--mode", choices=("batch", "stream"), default="batch",
+                   help="batch = replay_batch over the staged log; stream = "
+                        "Structured Streaming over the epoch-marker stream "
+                        "(availableNow trigger), resumable via --checkpoint")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (required for --mode stream)")
     p.add_argument("--merge-mode", choices=("cow", "mor"), default="mor")
     p.add_argument("--epoch-batch", type=int, default=16,
                    help="epochs per chunked MOR apply job (0 = per-epoch)")
@@ -105,7 +111,15 @@ def main(argv: list[str] | None = None) -> int:
         monitor = pipe.start_continuity_monitor(args.monitor_continuity)
 
     t0 = time.time()
-    results = pipe.replay_batch(epoch_batch=args.epoch_batch or None)
+    if args.mode == "stream":
+        if not args.checkpoint:
+            raise SystemExit("--mode stream requires --checkpoint")
+        q = pipe.run_stream(args.checkpoint,
+                            epoch_batch=args.epoch_batch or None)
+        q.awaitTermination()
+        results = []
+    else:
+        results = pipe.replay_batch(epoch_batch=args.epoch_batch or None)
     if args.final_compact:
         pipe.table.compact()
     replay_sec = time.time() - t0
@@ -135,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
         "engine_path": tapdata_connectors_spark.__file__,
         "master": spark.sparkContext.master,
         "table": args.table,
+        "mode": args.mode,
         "merge_mode": args.merge_mode,
         "generate_sec": round(generate_sec, 2),
         "replay_sec": round(replay_sec, 2),

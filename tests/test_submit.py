@@ -105,3 +105,41 @@ def test_spark_submit_pyfiles_end_to_end(tmpdir_, spark):
           if l.startswith("{")][-1]
     assert s2["chunks_applied"] == 0 and s2["chunks_skipped"] > 0
     assert s2["final_rows"] == s["final_rows"]
+
+
+def test_spark_submit_stream_mode_resumable(tmpdir_):
+    """--mode stream drives run_stream under spark-submit (availableNow);
+    a re-submit on the same checkpoint with no new data applies nothing."""
+    zip_path = build_pyfiles_zip(os.path.join(tmpdir_, "tds.zip"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.driver.memory=4g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "replay_job.py"),
+        "--staging", os.path.join(tmpdir_, "staging"),
+        "--table", os.path.join(tmpdir_, "table_stream"),
+        "--mode", "stream",
+        "--checkpoint", os.path.join(tmpdir_, "ckpt"),
+        "--generate-events", "2000",
+        "--n-buckets", "4",
+        "--epoch-batch", "8",
+        "--html-kb", "0",
+    ]
+    runs = []
+    for _ in range(2):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=tmpdir_, env=env, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        runs.append([json.loads(l) for l in proc.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    assert runs[0]["mode"] == "stream"
+    assert runs[0]["final_rows"] > 0
+    # second submit resumed the checkpoint, saw no new epochs, applied 0
+    assert runs[1]["final_rows"] == runs[0]["final_rows"]
+    assert runs[1]["lineage_events"] == runs[0]["lineage_events"]
