@@ -57,26 +57,32 @@ def extract_outlinks(
     url_col: str = "url",
     html_col: str = "html",
     keep_self: bool = False,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """(url, outlink) per href in the page html, both canonicalized;
     relative/fragment/mailto links (anything not resolving to a
     scheme://host) are dropped, as are self-host links unless
-    `keep_self`. Map-only: regexp + explode, JVM end to end."""
+    `keep_self`. Map-only: regexp + explode, JVM end to end.
+    `passthrough` columns ride along unchanged (the incremental link
+    index threads its CDF sign through here)."""
     html_str = F.decode(F.col(html_col), "UTF-8")
+    extra = [F.col(c) for c in passthrough]
     links = df.select(
         canonical_url(F.col(url_col)).alias("url"),
         host_of(F.col(url_col)).alias("src_host"),
         F.explode(F.regexp_extract_all(html_str, F.lit(_HREF_RE), 1))
         .alias("raw"),
+        *extra,
     ).select(
         "url",
         "src_host",
         canonical_url(F.col("raw")).alias("outlink"),
         host_of(F.col("raw")).alias("dst_host"),
+        *extra,
     ).filter(F.col("dst_host") != "")
     if not keep_self:
         links = links.filter(F.col("dst_host") != F.col("src_host"))
-    return links.select("url", "src_host", "outlink", "dst_host")
+    return links.select("url", "src_host", "outlink", "dst_host", *extra)
 
 
 def host_edges(links: DataFrame) -> DataFrame:

@@ -14,6 +14,12 @@ from tapdata_connectors_spark.streaming.gramidx import (
     gramidx_watermark,
     refresh_gram_index,
 )
+from tapdata_connectors_spark.streaming.linkidx import (
+    create_link_index,
+    linkidx_watermark,
+    live_edges,
+    refresh_link_index,
+)
 from tapdata_connectors_spark.streaming.rollup import (
     create_rollup_table,
     refresh_rollup,
@@ -26,4 +32,5 @@ __all__ = ["CdcPipeline", "cut_spans", "dedup_pages", "find_cut_rewrites",
            "prune_pages", "seq_continuity_monitor", "create_rollup_table",
            "refresh_rollup", "rollup_watermark", "create_gram_index",
            "cut_spans_incremental", "gramidx_watermark",
-           "refresh_gram_index"]
+           "refresh_gram_index", "create_link_index", "linkidx_watermark",
+           "live_edges", "refresh_link_index"]
