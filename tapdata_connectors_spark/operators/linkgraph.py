@@ -47,6 +47,7 @@ __all__ = [
     "host_edges",
     "degree_stats",
     "pagerank",
+    "frontier_candidates",
 ]
 
 _HREF_RE = 'href="([^"]+)"'
@@ -83,6 +84,41 @@ def extract_outlinks(
     if not keep_self:
         links = links.filter(F.col("dst_host") != F.col("src_host"))
     return links.select("url", "src_host", "outlink", "dst_host", *extra)
+
+
+def frontier_candidates(
+    links: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+    per_host_cap: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """(url, dst_host) outlinks NOT yet in the corpus — the crawl-frontier
+    discovery set every crawler derives from its own link graph. One
+    distinct + one left-anti join on the canonical url (the corpus side is
+    canonicalized here, so pass the raw table). `per_host_cap` bounds
+    discoveries per target host through the salted two-phase window
+    (operators/skew.salted_topk) — a megahost's million fresh urls must
+    not monopolize the next crawl round, and its frontier rows must not
+    sort in one task. Deterministic: cap order is the url's md5, no RNG."""
+    cand = (
+        links.select(F.col("outlink").alias("url"), "dst_host")
+        .distinct()
+    )
+    seen = corpus.select(canonical_url(F.col(url_col)).alias("url"))
+    fresh = cand.join(seen, "url", "left_anti")
+    if per_host_cap is None:
+        return fresh
+    from tapdata_connectors_spark.operators.skew import salted_topk
+
+    ordkey = F.md5(F.col("url"))
+    return (
+        salted_topk(
+            fresh.withColumn("__ord", ordkey),
+            "dst_host", ["__ord", "url"], per_host_cap,
+            n_salts=n_salts, salt_from=["url"],
+        ).select("url", "dst_host", "rk")
+    )
 
 
 def host_edges(links: DataFrame) -> DataFrame:

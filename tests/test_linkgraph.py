@@ -92,6 +92,32 @@ def test_host_graph_matches_python_over_replayed_table(spark, tmpdir_):
     assert sum(r["in_links"] for r in deg.values()) == total
 
 
+def test_frontier_candidates(spark):
+    rows = [
+        ("https://ha.example/a",
+         b'<a href="https://x.example/new1">1</a>'
+         b'<a href="https://x.example/new2">2</a>'
+         b'<a href="https://hb.example/b">known</a>'),
+        ("https://hb.example/b",
+         b'<a href="https://x.example/new1">dup</a>'
+         b'<a href="https://y.example/fresh?utm_source=t">t</a>'),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, html binary")
+    links = linkgraph.extract_outlinks(corpus)
+    fresh = {(r["url"], r["dst_host"])
+             for r in linkgraph.frontier_candidates(links, corpus).collect()}
+    # hb.example/b is already in the corpus; the utm param canonicalizes
+    # away; new1 appears once despite two referrers
+    assert fresh == {
+        ("https://x.example/new1", "x.example"),
+        ("https://x.example/new2", "x.example"),
+        ("https://y.example/fresh", "y.example"),
+    }
+    capped = linkgraph.frontier_candidates(links, corpus, per_host_cap=1)
+    per_host = {r["dst_host"]: r["rk"] for r in capped.collect()}
+    assert per_host == {"x.example": 1, "y.example": 1}
+
+
 def _py_pagerank(edges: list, iters: int, d: float = 0.85) -> dict:
     """Oracle: same formulation as linkgraph.pagerank (weighted, uniform
     dangling redistribution)."""

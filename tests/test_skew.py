@@ -81,6 +81,42 @@ def test_salted_topk_equals_single_window(spark):
     assert salted1.exceptAll(plain1).isEmpty()
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    ROWS = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-50, 50)),
+        min_size=1, max_size=120,
+    )
+
+    @settings(max_examples=20, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=ROWS, k=st.integers(1, 9), n_salts=st.integers(2, 7))
+    def test_salted_topk_property(spark, rows, k, n_salts):
+        """Random skew shapes, k, salt counts: salted == single window.
+        The unique row id makes the order total; duplicate (key, v)
+        payloads are allowed and exercised."""
+        df = spark.createDataFrame(
+            [(i, f"k{key}", v) for i, (key, v) in enumerate(rows)],
+            "id long, key string, v long",
+        )
+        w = W.partitionBy("key").orderBy(F.col("v"), F.col("id"))
+        plain = (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
+        salted = skew.salted_topk(
+            df, "key", ["v", "id"], k, n_salts=n_salts, salt_from=["id"]
+        )
+        assert plain.exceptAll(salted).isEmpty()
+        assert salted.exceptAll(plain).isEmpty()
+
+
 def test_host_cap_sample_salted_equals_unsalted(spark):
     df = _skewed(spark, n=5_000).select(
         F.col("id").alias("doc_id"), F.col("key").alias("source")
