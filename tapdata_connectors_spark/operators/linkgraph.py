@@ -91,16 +91,18 @@ def frontier_candidates(
     corpus: DataFrame,
     url_col: str = "url",
     per_host_cap: int | None = None,
-    n_salts: int = 8,
 ) -> DataFrame:
     """(url, dst_host) outlinks NOT yet in the corpus — the crawl-frontier
     discovery set every crawler derives from its own link graph. One
     distinct + one left-anti join on the canonical url (the corpus side is
     canonicalized here, so pass the raw table). `per_host_cap` bounds
-    discoveries per target host through the salted two-phase window
-    (operators/skew.salted_topk) — a megahost's million fresh urls must
-    not monopolize the next crawl round, and its frontier rows must not
-    sort in one task. Deterministic: cap order is the url's md5, no RNG."""
+    discoveries per target host — a megahost's million fresh urls must
+    not monopolize the next crawl round — via a row_number + filter
+    window, which Catalyst's WindowGroupLimit makes skew-immune
+    map-side (see operators/skew.py). Deterministic: cap order is the
+    url's md5, no RNG."""
+    from pyspark.sql.window import Window as W
+
     cand = (
         links.select(F.col("outlink").alias("url"), "dst_host")
         .distinct()
@@ -109,15 +111,11 @@ def frontier_candidates(
     fresh = cand.join(seen, "url", "left_anti")
     if per_host_cap is None:
         return fresh
-    from tapdata_connectors_spark.operators.skew import salted_topk
-
-    ordkey = F.md5(F.col("url"))
+    w = W.partitionBy("dst_host").orderBy(F.md5(F.col("url")), F.col("url"))
     return (
-        salted_topk(
-            fresh.withColumn("__ord", ordkey),
-            "dst_host", ["__ord", "url"], per_host_cap,
-            n_salts=n_salts, salt_from=["url"],
-        ).select("url", "dst_host", "rk")
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_host_cap)
+        .select("url", "dst_host", "rk")
     )
 
 

@@ -11,19 +11,33 @@ Where the engine does NOT need salt, by construction (and says so):
   so inserting a salted repartition there would only add a shuffle.
 - Joins get AQE's skew-join split at runtime (session.py enables it).
 
-What partial aggregation can NOT absorb — and what these helpers fix:
+- Rank-filter top-k windows (row_number/rank/dense_rank + `rk <= k`)
+  get Catalyst's WindowGroupLimit rule (Spark >= 3.5): a PARTIAL
+  per-key top-k runs map-side before the exchange — the optimizer has
+  already salted that plan, with zero extra shuffle. Measured here:
+  BENCH/skew_bench.json shows the manual two-phase at 0.75-0.87x of
+  the single window on a 20M-row frame with up to 90% of rows on one
+  key, and the single window's physical plan carries
+  Sort -> WindowGroupLimit -> Exchange. Prefer the single declarative
+  window for that pattern.
 
-- Per-key WINDOWS (row_number / rank over a megahost): all rows of the
-  hot key land in one task and the window sorts them there. A host like
-  a top-1% domain at crawl scale is billions of rows in one partition.
-  `salted_topk` runs the window in two phases: rank within (key, salt)
-  and keep k per subgroup — any row in the key's global top-k has < k
-  rows ahead of it globally, hence < k ahead of it in its own salt
-  subgroup, so phase 1 never drops a global winner — then re-rank the
-  <= n_salts*k survivors per key for the exact result. Output is
-  row-identical to the single-window formulation (pytest-pinned), while
+What neither partial aggregation nor WindowGroupLimit absorbs — and
+what these helpers fix:
+
+- Per-key WINDOW functions OUTSIDE the rank-filter pattern (running
+  aggregates, ntile, lag/lead chains, full rank assignment with no
+  limit filter): all rows of the hot key land in one task and the
+  window sorts them there. A top-1% domain at crawl scale is billions
+  of rows in one partition. `salted_topk` covers the top-k-shaped
+  subset of those explicitly: rank within (key, salt) and keep k per
+  subgroup — any row in the key's global top-k has < k rows ahead of
+  it globally, hence < k ahead of it in its own salt subgroup, so
+  phase 1 never drops a global winner — then re-rank the <= n_salts*k
+  survivors per key for the exact result. Output is row-identical to
+  the single-window formulation (pytest- and hypothesis-pinned), while
   the biggest sorted partition shrinks from |hot key| to |hot key| /
-  n_salts.
+  n_salts. It is also the portable fallback where the group-limit rule
+  does not exist.
 - Operators that need an explicit repartition before per-partition work
   (mapInPandas feature extraction, per-partition writers): `hot_keys` +
   `salted_repartition` spread ONLY the detected-hot keys across

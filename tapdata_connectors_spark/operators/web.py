@@ -112,23 +112,26 @@ def host_cap_sample(
     host_col: str = "source",
     id_col: str = "doc_id",
     cap: int = 5,
-    n_salts: int = 8,
+    n_salts: int = 1,
 ) -> DataFrame:
     """At most `cap` rows per host, picked by deterministic md5 order over
     the id (cross-engine reproducible; no sampling RNG). Returns
     (id, host, rk) for the kept rows.
 
-    Skew: a per-host row_number window is exactly the shape map-side
-    partial aggregation can NOT protect — a megahost's every row sorts in
-    one task. With n_salts > 1 (default) the window runs through
-    operators/skew.salted_topk: rank within (host, salt), keep `cap` per
-    subgroup (provably a superset of the host's global top-cap), re-rank
-    the <= n_salts*cap survivors — identical output, hot-partition size
-    divided by n_salts. The salt derives from the order key (content
-    hash), so the sample is as deterministic as the single-window
-    formulation (n_salts=1, kept for A/B and for the containment test).
-    The window input is early-projected to 3 columns either way, so even
-    the salted megahost partitions are id+host+hash wide."""
+    Skew: the row_number + `rk <= cap` shape triggers Catalyst's
+    WindowGroupLimit rule (Spark >= 3.5) — a PARTIAL per-key top-cap
+    runs map-side BEFORE the exchange (verified in this engine's plans:
+    Sort -> WindowGroupLimit -> Exchange -> ... -> Window), so a
+    megahost contributes at most cap rows per map task to the shuffle
+    and the single window is already skew-immune AND one exchange
+    cheaper than manual salting (measured: BENCH/skew_bench.json — the
+    salted two-phase came out 0.75-0.87x at 20M rows/90% hot share
+    precisely because the optimizer had already salted the plan). The
+    default is therefore the single window; `n_salts > 1` routes
+    through operators/skew.salted_topk (row-identical, pytest-pinned)
+    as the explicit fallback for engines or window patterns outside the
+    group-limit rule. The window input is early-projected to 3 columns
+    either way."""
     from tapdata_connectors_spark.operators.skew import salted_topk
 
     ordkey = F.md5(F.col(id_col).cast("string"))
