@@ -798,6 +798,48 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC + control strip + whitespace
+    collapse — the pre-fingerprint normalization CCNet/Dolma run): the
+    corpus is ASCII, so each document is deterministically AUGMENTED
+    with a decomposed-accent + control-char + messy-whitespace tail
+    (same non-vacuous-oracle pattern as pii_redact); the oracle rebuilds
+    the identical augmented string and replays the chain via DuckDB's
+    nfc_normalize. Engine op: functions/textnorm.normalize_text (NFC is
+    the one step Spark lacks a built-in for → Arrow pandas UDF; strip +
+    collapse stay JVM regexp)."""
+    from tapdata_connectors_spark.functions import textnorm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301  nai\u0308ve\rend\x07."),  # decomposed accents: NFC has real work
+        ).alias("text"),
+    )
+    return textnorm.normalize_text(docs)
+
+
+SQL_TEXT_NORMALIZE = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || '  nai' || chr(776) || 've'
+              || chr(13) || 'end' || chr(7) || '.' AS raw
+  FROM documents
+), n AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+              '\\s+', ' ', 'g')) AS norm_text
+  FROM aug
+)
+SELECT doc_id, norm_text,
+  norm_text <> raw AS changed,
+  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (Rae et al. 2021 table A1):
     word-count band, mean-word-length band, duplicate-2-gram ceiling,
@@ -2459,6 +2501,7 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": q_unigram_surprisal,
     "bigram_surprisal": q_bigram_surprisal,
     "multimodal_h264_meta": q_multimodal_h264_meta,
+    "text_normalize": q_text_normalize,
 }
 
 AUX_ORACLE_SQL: dict[str, str] = {
@@ -2470,6 +2513,7 @@ AUX_ORACLE_SQL: dict[str, str] = {
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
     "multimodal_h264_meta": SQL_MULTIMODAL_H264_META,
+    "text_normalize": SQL_TEXT_NORMALIZE,
 }
 
 assert len(QUERIES) <= 50, "round driver verifies at most 50 registry rows"
