@@ -107,6 +107,58 @@ def test_spark_submit_pyfiles_end_to_end(tmpdir_, spark):
     assert s2["final_rows"] == s["final_rows"]
 
 
+def test_spark_submit_curate_job(tmpdir_):
+    """The curation-side deployable: replay a small log via the replay
+    job, then run the curation job (dedup + quality prune + link-index
+    refresh) under real spark-submit; a re-submit with the same tag
+    skips every stage (epoch-key idempotence)."""
+    zip_path = build_pyfiles_zip(os.path.join(tmpdir_, "tds.zip"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    base = [
+        "spark-submit", "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.driver.memory=4g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", zip_path,
+    ]
+    staging = os.path.join(tmpdir_, "staging")
+    table = os.path.join(tmpdir_, "table")
+    replay = base + [
+        os.path.join(REPO, "jobs", "replay_job.py"),
+        "--staging", staging, "--table", table,
+        "--generate-events", "2000", "--n-buckets", "4",
+        "--epoch-batch", "8", "--html-kb", "0",
+    ]
+    proc = subprocess.run(replay, capture_output=True, text=True,
+                          cwd=tmpdir_, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    curate = base + [
+        os.path.join(REPO, "jobs", "curate_job.py"),
+        "--table", table, "--staging", staging, "--n-buckets", "4",
+        "--dedup", "exact", "--prune",
+        "--refresh-links", os.path.join(tmpdir_, "linkidx"),
+    ]
+    outs = []
+    for _ in range(2):
+        proc = subprocess.run(curate, capture_output=True, text=True,
+                              cwd=tmpdir_, env=env, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        outs.append([json.loads(l) for l in proc.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    first, second = outs
+    assert "tds.zip" in first["engine_path"]
+    assert set(first["stages"]) == {"dedup", "prune", "link_index"}
+    assert first["live_rows"] > 0
+    assert not first["stages"]["link_index"]["skipped"]
+    # idempotent re-submit: every stage skips, state unchanged
+    assert second["stages"]["link_index"]["skipped"] is True
+    assert second["live_rows"] == first["live_rows"]
+    assert second["table_version"] == first["table_version"]
+
+
 def test_spark_submit_stream_mode_resumable(tmpdir_):
     """--mode stream drives run_stream under spark-submit (availableNow);
     a re-submit on the same checkpoint with no new data applies nothing."""
