@@ -168,3 +168,26 @@ def test_pk_range_chunks_approx_contract(spark):
     ideal = total / 8
     for r in rows:
         assert r["n_rows"] < 2 * ideal
+
+
+def test_host_cap_plan_has_partial_window_group_limit(spark):
+    """The skew story for rank-filter top-k rests on Catalyst's
+    WindowGroupLimit running a PARTIAL per-key top-k map-side BEFORE the
+    exchange (measured in BENCH/skew_bench.json; operators/skew.py
+    documents the boundary). Pin it: if a refactor of host_cap_sample
+    ever breaks the pushdown pattern (e.g. by materializing rk before
+    the filter), a megahost's whole partition starts crossing the
+    shuffle again and this fails."""
+    from tapdata_connectors_spark.operators.web import host_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, f"h{i % 5}") for i in range(100)], "doc_id long, source string"
+    )
+    plan = _phys(host_cap_sample(df, cap=3))
+    # the tree prints top-down: Window <- WindowGroupLimit(Final) <- Sort
+    # <- Exchange <- WindowGroupLimit(Partial) <- Sort. The map-side
+    # PARTIAL below the exchange is the one that kills the skew, so it
+    # must appear AFTER "Exchange" in the string (and the final above).
+    pre, post = plan.split("Exchange", 1)
+    assert "WindowGroupLimit" in pre, plan
+    assert "WindowGroupLimit" in post, plan
