@@ -840,6 +840,28 @@ FROM n
 """
 
 
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (the final-mile global
+    shuffle of a data build): shard = md5(key+":s0") mod 8, intra-shard
+    order key = md5(key+":o0") — no RNG, so the oracle reproduces the
+    exact assignment and a re-run of the build reproduces the shards.
+    Engine op: operators/export.shard_assignment (export_shards writes
+    the sharded, sorted parquet; pytest-gated since it writes)."""
+    from tapdata_connectors_spark.operators import export
+
+    return export.shard_assignment(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+SQL_SHARD_ASSIGNMENT = """
+SELECT doc_id,
+  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':o0'), 1, 15)) AS BIGINT) AS ord64
+FROM documents
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (Rae et al. 2021 table A1):
     word-count band, mean-word-length band, duplicate-2-gram ceiling,
@@ -2502,6 +2524,7 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal": q_bigram_surprisal,
     "multimodal_h264_meta": q_multimodal_h264_meta,
     "text_normalize": q_text_normalize,
+    "shard_assignment": q_shard_assignment,
 }
 
 AUX_ORACLE_SQL: dict[str, str] = {
@@ -2514,6 +2537,7 @@ AUX_ORACLE_SQL: dict[str, str] = {
     "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
     "multimodal_h264_meta": SQL_MULTIMODAL_H264_META,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "shard_assignment": SQL_SHARD_ASSIGNMENT,
 }
 
 assert len(QUERIES) <= 50, "round driver verifies at most 50 registry rows"
