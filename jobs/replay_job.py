@@ -35,6 +35,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--staging", required=True, help="staged event-log dir")
     p.add_argument("--table", required=True, help="lake table dir")
+    p.add_argument("--bootstrap", default=None, metavar="PARQUET_DIR",
+                   help="initial full-table snapshot (url, warc_ts, html[, "
+                        "text, lang] parquet) loaded BEFORE tailing the "
+                        "staged log — the reference's snapshot-then-CDC "
+                        "flow; skipped if the table already exists")
     p.add_argument("--lineage", default=None,
                    help="lineage/metrics table dir (default: <table>/_lineage)")
     p.add_argument("--n-buckets", type=int, default=64)
@@ -101,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
         merge_mode=args.merge_mode,
         compact_every=args.compact_every,
     )
+    bootstrapped = False
+    if args.bootstrap and not pipe.table.exists():
+        pipe.bootstrap_snapshot(spark.read.parquet(args.bootstrap))
+        bootstrapped = True
     pipe.init_table()
     start_epoch = None
     if args.start_at:
@@ -149,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         "engine_path": tapdata_connectors_spark.__file__,
         "master": spark.sparkContext.master,
         "table": args.table,
+        "bootstrapped": bootstrapped,
         "mode": args.mode,
         "merge_mode": args.merge_mode,
         "generate_sec": round(generate_sec, 2),

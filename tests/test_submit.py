@@ -107,6 +107,68 @@ def test_spark_submit_pyfiles_end_to_end(tmpdir_, spark):
     assert s2["final_rows"] == s["final_rows"]
 
 
+def test_spark_submit_bootstrap_then_cdc(tmpdir_, spark):
+    """--bootstrap loads the initial full-table snapshot before tailing
+    the staged log (the reference's snapshot-then-CDC flow); final state
+    equals the in-process bootstrap+replay, and a re-submit neither
+    re-bootstraps nor re-applies."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    snap_rows = [
+        Row(url=f"https://boot.example/p/{i}",
+            warc_ts=datetime.datetime(2026, 1, 1, 0, 0, i % 60),
+            html=f"<html><body><p>boot {i}</p></body></html>".encode(),
+            lang="en")
+        for i in range(50)
+    ]
+    spark.createDataFrame(snap_rows).write.parquet(f"{tmpdir_}/snap")
+
+    zip_path = build_pyfiles_zip(os.path.join(tmpdir_, "tds.zip"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.driver.memory=4g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "replay_job.py"),
+        "--staging", os.path.join(tmpdir_, "staging"),
+        "--table", os.path.join(tmpdir_, "table_boot"),
+        "--bootstrap", os.path.join(tmpdir_, "snap"),
+        "--generate-events", "2000",
+        "--n-buckets", "4",
+        "--epoch-batch", "8",
+        "--html-kb", "0",
+    ]
+    outs = []
+    for _ in range(2):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=tmpdir_, env=env, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        outs.append([json.loads(l) for l in proc.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    assert outs[0]["bootstrapped"] is True
+    assert outs[0]["final_rows"] >= 50  # snapshot survives the replay
+    assert outs[1]["bootstrapped"] is False  # table exists: no re-load
+    assert outs[1]["chunks_applied"] == 0
+    assert outs[1]["final_rows"] == outs[0]["final_rows"]
+
+    # in-process equivalent over the job's own staged log
+    pipe = CdcPipeline(spark, f"{tmpdir_}/table_api",
+                       os.path.join(tmpdir_, "staging"),
+                       n_buckets=4, merge_mode="mor")
+    pipe.bootstrap_snapshot(spark.read.parquet(f"{tmpdir_}/snap"))
+    pipe.replay_batch(epoch_batch=8)
+    a = pipe.table.read()
+    from tapdata_connectors_spark.lake.table import LakeTable
+    b = LakeTable(spark, f"{tmpdir_}/table_boot").read().select(*a.columns)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_spark_submit_curate_job(tmpdir_):
     """The curation-side deployable: replay a small log via the replay
     job, then run the curation job (dedup + quality prune + link-index
