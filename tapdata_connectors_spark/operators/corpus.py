@@ -735,6 +735,42 @@ def hash_sample(df: DataFrame, rate_x1000: int | dict[str, int],
     return df.filter(bucket < rate)
 
 
+def temperature_sample(df: DataFrame, id_col: str = "doc_id",
+                       group_col: str = "lang",
+                       denom: int = 1000) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual data-mix
+    sampling of Conneau & Lample 2019 / mC4, α = 0.5): downsample each
+    group so expected kept counts scale as n_g^α instead of n_g — the
+    smallest group keeps everything, a group 100× larger keeps ~10× as
+    much (not 100×). keep_rate(g) = (n_min / n_g)^(1-α) = sqrt(n_min /
+    n_g), realized as the same deterministic md5-mod predicate
+    hash_sample uses, with rates derived FROM the corpus itself.
+
+    Cross-engine exactness without integers: double division and sqrt
+    are IEEE-754 correctly-rounded on both engines (unlike pow — which
+    is why α is pinned at 0.5), so floor(denom·sqrt(n_min/n_g)) is
+    bit-identical in Spark and the DuckDB oracle.
+
+    Shape at 100 TB: one algebraic count-by-group (|groups| rows), the
+    min riding a 1-row broadcast crossJoin over that already-reduced
+    frame, rates broadcast back — the corpus-side predicate stays
+    map-only. No window anywhere."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_min_n"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.floor(
+            denom * F.sqrt(F.col("_min_n").cast("double") / F.col("_n"))
+        ).cast("bigint").alias("_rate"),
+    )
+    bucket = md5_slice(F.col(id_col).cast("string"), 8) % denom
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def quality_keep_col(text_col: Column,
                      min_words: int = 5, max_words: int = 100000,
                      mean_len_x100: tuple[int, int] = (150, 1200),

@@ -862,6 +862,32 @@ FROM documents
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (Conneau & Lample 2019 /
+    mC4 sampling, alpha=0.5): kept counts scale as sqrt of group size —
+    rates derived FROM the corpus counts, realized as the deterministic
+    md5-mod predicate. alpha is pinned at 0.5 because sqrt (unlike pow)
+    is IEEE correctly-rounded on both engines, so floor(1000*sqrt(
+    n_min/n_g)) is bit-identical in Spark and DuckDB.
+    Engine op: operators/corpus.temperature_sample."""
+    return corpus.temperature_sample(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "lang")
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (
+  SELECT lang,
+         CAST(floor(1000 * sqrt((SELECT min(n) FROM c) * 1.0 / n)) AS BIGINT) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < r.rate
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (Rae et al. 2021 table A1):
     word-count band, mean-word-length band, duplicate-2-gram ceiling,
@@ -2525,6 +2551,7 @@ AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_h264_meta": q_multimodal_h264_meta,
     "text_normalize": q_text_normalize,
     "shard_assignment": q_shard_assignment,
+    "temperature_mix": q_temperature_mix,
 }
 
 AUX_ORACLE_SQL: dict[str, str] = {
@@ -2538,6 +2565,7 @@ AUX_ORACLE_SQL: dict[str, str] = {
     "multimodal_h264_meta": SQL_MULTIMODAL_H264_META,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "shard_assignment": SQL_SHARD_ASSIGNMENT,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
 }
 
 assert len(QUERIES) <= 50, "round driver verifies at most 50 registry rows"
