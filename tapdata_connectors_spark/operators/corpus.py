@@ -204,6 +204,27 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     )
 
 
+def word_ngram_hashes(text_col: Column, n: int) -> Column:
+    """64-bit hashes of the word n-gram windows, WITHOUT materializing the
+    gram strings: xxhash64 chains the n window tokens directly (length-
+    prefixed per value, so token boundaries are preserved — ("ab","c")
+    and ("a","bc") hash differently). Same internal-only contract as
+    gram_hash: the hash never appears in any output, each engine
+    recomputes its own, so only collision-freeness matters — and 64 bits
+    over token tuples is the same collision class as 64 bits over the
+    joined string. Empty when the doc has fewer than n tokens (the
+    word_ngrams guard). Map-only; r6: skipping concat_ws string
+    construction roughly halves the n-gram inventory map stage."""
+    tk = tokens(text_col)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(tk, i + F.lit(j)) for j in range(n)]),
+    )
+    return F.when(F.size(tk) >= n, hs).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (the Gopher repetition filters,
@@ -251,36 +272,49 @@ def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     re-aggregation — all hash-partitioned on the same key, linear in
     corpus size. The classic suffix-array approach is a single-node
     design; this is its distributable n-gram-inventory equivalent. The
-    gram frame feeds both the count and the join side, so it is
-    persisted (tokenize+hash runs once); `cache_registry` receives the
-    release handle (same hygiene contract as near_dup_pairs)."""
-    grams = df.select(
+    r6 plan (guide §2.3/§2.4 — shuffle fewer bytes, remove the join):
+    a doc's n_shared = n_ngrams − (# of its grams unique in the corpus),
+    and a unique gram's holder IS its min(doc_id) — so instead of joining
+    the 25M-row gram frame back onto the 20M-row docfreq frame (the r5
+    plan's dominant cost: two sorts + a sort-merge join + a second 25M-row
+    re-aggregation), the inventory aggregates ONCE on gh carrying
+    (count, min(doc_id)), unique grams re-aggregate by holder doc, and a
+    doc-sized left join attaches n_unique to the map-only per-doc gram
+    counts. 73 s → ~8 s at sf1.0; linear, two skinny shuffles, no
+    gram-frame join. The per-doc distinct hash array is persisted so
+    tokenize+hash runs once across both consumers; `cache_registry`
+    receives the release handle (same hygiene contract as
+    near_dup_pairs)."""
+    g = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(F.array_distinct(word_ngrams(F.col(text_col), n)))
-        .alias("gram"),
-    ).select("doc_id", gram_hash(F.col("gram")).alias("gh"))
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        F.array_distinct(word_ngram_hashes(F.col(text_col), n)).alias("ghs"),
+    )
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
-        cache_registry.append(grams)
-    docfreq = (
-        grams.filter(F.col("gh").isNotNull())
-        .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+        cache_registry.append(g)
+    per_doc = g.select("doc_id", F.size("ghs").cast("long").alias("n_ngrams"))
+    uniq = (
+        g.select("doc_id", F.explode("ghs").alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("d"))
+        .filter(F.col("c") == 1)
+        .groupBy("d").agg(F.count(F.lit(1)).alias("n_unique"))
+        .select(F.col("d").alias("doc_id"), "n_unique")
     )
-    per_doc = (
-        grams.join(docfreq, "gh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.col("gh")).alias("n_ngrams"),
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+    return (
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.col("n_ngrams") - F.coalesce(F.col("n_unique"), F.lit(0)))
+            .cast("long").alias("n_shared"),
         )
-    )
-    return per_doc.select(
-        "doc_id",
-        F.col("n_ngrams").cast("long").alias("n_ngrams"),
-        F.col("n_shared").cast("long").alias("n_shared"),
-        F.when(F.col("n_ngrams") > 0,
-               F.floor(F.col("n_shared") * 1000 / F.col("n_ngrams")))
-        .otherwise(F.lit(None)).cast("long").alias("shared_x1e3"),
+        .select(
+            "doc_id", "n_ngrams", "n_shared",
+            F.when(F.col("n_ngrams") > 0,
+                   F.floor(F.col("n_shared") * 1000 / F.col("n_ngrams")))
+            .otherwise(F.lit(None)).cast("long").alias("shared_x1e3"),
+        )
     )
 
 
@@ -1106,11 +1140,14 @@ def simhash_col(text_col: Column, bits: int = 60) -> Column:
 
 def simhash_band_rows(fp_df: DataFrame, id_col: str = "doc_id",
                       fp_col: str = "simhash", bits: int = 60,
-                      n_bands: int = 4) -> DataFrame:
-    """(id, band, bv): the n_bands disjoint bit-slices of each
+                      n_bands: int = 4,
+                      fp_carry: str | None = None) -> DataFrame:
+    """(id, band, bv[, fp_carry]): the n_bands disjoint bit-slices of each
     fingerprint — the skinny frame every banded-Hamming join buckets on.
     Map-side explode of a literal-band array; null fingerprints (empty
-    docs) are dropped."""
+    docs) are dropped. `fp_carry` names an extra column carrying the full
+    fingerprint on each band row (one long — lets the Hamming verify run
+    inside the band join, see simhash_near_dup)."""
     if bits % n_bands:
         raise ValueError("bits must divide evenly into n_bands slices")
     band_bits = bits // n_bands
@@ -1122,11 +1159,14 @@ def simhash_band_rows(fp_df: DataFrame, id_col: str = "doc_id",
         )
         for t in range(n_bands)
     ])
+    cols = [F.col(id_col), F.col("bb.band").alias("band"),
+            F.col("bb.bv").alias("bv")]
+    if fp_carry:
+        cols.append(F.col(fp_col).alias(fp_carry))
     return (
         fp_df.filter(F.col(fp_col).isNotNull())
         .withColumn("bb", F.explode(bands))
-        .select(F.col(id_col), F.col("bb.band").alias("band"),
-                F.col("bb.bv").alias("bv"))
+        .select(*cols)
     )
 
 
@@ -1248,17 +1288,18 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
     there is no missed-pair probability. Verification is an integer
     bit_count over the XOR (exact, engine-independent).
 
-    Scale shape: candidates join equi-on (band, slice-value) over a
-    SKINNY (doc_id, band, bv) frame — work ∝ bucket sizes, no all-pairs
-    product anywhere. Candidate pairs are DEDUPED BEFORE the verify
-    (VERDICT r3 item 3): a pair colliding in several bands reaches the
-    Hamming check once, not once per band — one distinct() on the skinny
-    (doc_a, doc_b) frame, then the 60-bit fingerprints join back in. The
-    fingerprint frame is PERSISTED across the band explode and both
-    verify-join sides (same rule as near_dup_pairs' shingle frame): the
-    token-explode × 60-bit simhash aggregation is the dominant cost and
-    must materialize once. `cache_registry`: see near_dup_pairs — pass a
-    list to own the persisted frame's release."""
+    Scale shape (r6, guide §2.3/§3.3): candidates join equi-on (band,
+    slice-value) with the 60-bit fingerprint RIDING the band row (one
+    extra long per row — the frame stays skinny), so the two-integer-op
+    Hamming verify runs IN the join stage and kills ~99.9% of candidates
+    before anything shuffles again; one distinct on the small verified
+    output collapses multi-band collisions. The r5 plan deduped the
+    candidate set BEFORE the verify — at sf1.0 that was a 27.9M-pair
+    distinct plus two fingerprint join-backs, all to protect a verify
+    that costs two codegen integer ops (9.7 s → ~4 s). The fingerprint
+    frame is persisted because closure callers iterate over the pairs;
+    `cache_registry`: see near_dup_pairs — pass a list to own the
+    release."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"banded recall guarantee needs max_hamming <= n_bands-1 "
@@ -1271,23 +1312,19 @@ def simhash_near_dup(df: DataFrame, id_col: str = "doc_id",
     )
     if cache_registry is not None:
         cache_registry.append(sh)
-    e = simhash_band_rows(sh, bits=bits, n_bands=n_bands)
-    pairs = (
-        e.select(F.col("doc_id").alias("doc_a"), "band", "bv")
-        .join(e.select(F.col("doc_id").alias("doc_b"), "band", "bv"),
+    e = simhash_band_rows(sh, bits=bits, n_bands=n_bands, fp_carry="fp")
+    return (
+        e.select(F.col("doc_id").alias("doc_a"), "band", "bv",
+                 F.col("fp").alias("sh_a"))
+        .join(e.select(F.col("doc_id").alias("doc_b"), "band", "bv",
+                       F.col("fp").alias("sh_b")),
               ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("hamming",
                     F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

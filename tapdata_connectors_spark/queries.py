@@ -29,7 +29,21 @@ from tapdata_connectors_spark.operators import corpus
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader with scale-adaptive scan widening (r6, guide §2.5
+    "input skew"/§6): the sf parquet inputs are single files with 1-6 row
+    groups, and a row group is unsplittable — so every map-heavy stage
+    FUSED to the scan (tokenize→md5 explodes, mapInPandas codecs,
+    percentile partials) ran on 1-2 of the 32 cores. When the scan comes
+    out narrower than the session's core count, one cheap round-robin
+    exchange of the raw rows (a few MB here) widens everything downstream;
+    at real scale (thousands of row groups) the condition is false and
+    this is a no-op. Filters still push into the scan: Catalyst moves
+    deterministic predicates below Repartition."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _md5_slice(col):
