@@ -383,23 +383,24 @@ def ann_ivf_topk(df: DataFrame, centroids: list[list[int]],
         F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
     )
     assigned = base.withColumn("cid", assign_col(F.col("v"), centroids)["cid"])
-    # nprobe nearest centroids per query: array_sort on struct(d2, cid)
-    # orders by distance then centroid id — deterministic probe lists
-    probe_pairs = F.transform(
-        _centroid_lit(centroids),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x,
-            ).alias("d2"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    qp = (
-        base.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .withColumn("p", F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)))
-        .select("query_id", "qv", F.col("p.cid").alias("cid"))
+    # nprobe nearest centroids per query, computed DRIVER-side from the
+    # collected query vectors (bounded O(n_queries·dim) — the same
+    # discipline as the collected centroid seeds; distance then centroid
+    # id ties, exactly the r5 array_sort order). Skips executing the
+    # probe-selection subplan as its own broadcast job (r6).
+    qrows = (base.filter(F.col("vec_id") < n_queries)
+             .select("vec_id", "v").collect())
+    qp_rows = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = list(r["v"])
+        d2 = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+            for cid, cv in enumerate(centroids)
+        )
+        for _, cid in d2[:nprobe]:
+            qp_rows.append((r["vec_id"], qv, cid))
+    qp = df.sparkSession.createDataFrame(
+        qp_rows, "query_id long, qv array<bigint>, cid bigint"
     )
     cand = (
         assigned.join(F.broadcast(qp), "cid")
@@ -574,7 +575,16 @@ def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
     no raw vector. Work ∝ probed-list sizes × m. Exactness property:
     with ksub = corpus size the codewords converge to the vectors and
     ADC ranking equals brute force (pytest-asserted); recall at real
-    (m, ksub, nprobe) is gated against brute-force ground truth."""
+    (m, ksub, nprobe) is gated against brute-force ground truth.
+
+    r6: the probe cids and ADC tables are computed DRIVER-side from the
+    collected query vectors — a bounded O(n_queries·dim) collect, the
+    same discipline as the collected centroid seeds. The r5 plan built
+    the ADC tables as one m×ksub-term JVM expression over the broadcast
+    query subplan; compiling that tree cost ~4 s per invocation at m=4,
+    ksub=16 while evaluating it touched only n_queries rows. Exact
+    integer math is identical in Python (arbitrary-precision) and the
+    JVM (bounded « 2^63)."""
     from pyspark.sql import Window as W
 
     m = len(codebooks)
@@ -587,36 +597,25 @@ def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
         assign_col(F.col("v"), centroids)["cid"].alias("cid"),
         pq_codes_col(F.col("v"), codebooks).alias("codes"),
     )
-    # queries: nprobe probe cids + the ADC lookup table adc[sub][code]
-    probe_pairs = F.transform(
-        _centroid_lit(centroids),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x,
-            ).alias("d2"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    # adc[sub][code] = dot(q_sub, codeword): one parsed expression — the
-    # m×ksub×dsub literal tensor through F.lit() was a py4j call per
-    # element and dominated plan-build wall (see _centroid_lit)
-    adc = F.expr("array({})".format(", ".join(
-        "array({})".format(", ".join(
-            "aggregate(zip_with(slice(qv, {o}, {d}), array({arr}), "
-            "(x, y) -> x * y), 0L, (acc, x) -> acc + x)".format(
-                o=s * dsub + 1, d=dsub,
-                arr=", ".join(f"{int(x)}L" for x in codebooks[s][j]))
-            for j in range(len(codebooks[s]))
-        ))
-        for s in range(m)
-    )))
-    qp = (
-        base.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .withColumn("adc", adc)
-        .withColumn("p", F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)))
-        .select("query_id", "adc", F.col("p.cid").alias("cid"))
+    qrows = (base.filter(F.col("vec_id") < n_queries)
+             .select("vec_id", "v").collect())
+    qp_rows = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = list(r["v"])
+        d2 = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+            for cid, cv in enumerate(centroids)
+        )
+        adc = [
+            [sum(a * b for a, b in zip(qv[s * dsub:(s + 1) * dsub],
+                                       codebooks[s][j]))
+             for j in range(len(codebooks[s]))]
+            for s in range(m)
+        ]
+        for _, cid in d2[:nprobe]:
+            qp_rows.append((r["vec_id"], adc, cid))
+    qp = df.sparkSession.createDataFrame(
+        qp_rows, "query_id long, adc array<array<bigint>>, cid bigint"
     )
     cand = (
         corpus.join(F.broadcast(qp), "cid")

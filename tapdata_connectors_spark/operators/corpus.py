@@ -1422,7 +1422,7 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                    cache_registry: list | None = None,
                    spill_dir: str | None = None,
                    driver_threshold: int = 2_000_000,
-                   steps_per_spill: int = 4,
+                   steps_per_spill: int = 6,
                    _round_hook=None) -> DataFrame:
     """(doc_id, component_id) for every vertex of the verified-duplicate
     graph: component_id = the component's minimum id. GraphFrames-free
@@ -1514,7 +1514,7 @@ def _dup_components_distributed(spark, edges: DataFrame, out_schema,
                                 max_iters: int,
                                 cache_registry: list | None,
                                 spill_dir: str | None,
-                                steps_per_spill: int = 4,
+                                steps_per_spill: int = 6,
                                 _round_hook=None) -> DataFrame:
     """Min-label propagation with reliable per-round parquet spill; see
     dup_components. `edges` arrives persisted (caller-owned)."""
@@ -1564,32 +1564,72 @@ def _dup_components_distributed(spark, edges: DataFrame, out_schema,
         # joins+aggs) and fault tolerance intact: every frame in a
         # window's lineage is either the last spill (reliable parquet) or
         # derived from it, so executor loss mid-window just recomputes.
-        # The fixpoint check runs per WINDOW (labels vs K-steps-ago): up
-        # to K-1 no-op steps past convergence, each a no-op shuffle of
-        # the label frame, far cheaper than K-1 extra write+read jobs.
+        # The fixpoint check compares the window's LAST step against its
+        # SECOND-TO-LAST (r6): min-label propagation is monotone, so one
+        # step changing nothing IS the fixpoint — a window that converges
+        # mid-way reports chg=false in the SAME window instead of paying
+        # a whole confirmation window of write+read+head jobs (the r5
+        # check compared against the window START, which is true whenever
+        # any step in the window moved a label). The join's two sides
+        # share the K-1-step lineage, so that subchain evaluates twice —
+        # label frames are id+label rows, far cheaper than an extra
+        # window's job round-trips.
         # self-loops fold "keep own label" into the SAME join as the
         # neighbor messages, so each step references the previous labels
         # frame exactly ONCE — the labels.union(msgs) formulation
         # references it twice (directly + via msgs), doubling the plan
         # tree per chained step (2^K leaves; measured 7 s/window vs
         # ~1.3 s with the linear chain)
+        def _propagate(prev):
+            return (
+                selfed.join(
+                    prev.select(F.col("id").alias("src"), "label"), "src")
+                .select(F.col("dst").alias("id"), "label")
+                .groupBy("id").agg(F.min("label").alias("label"))
+            )
+
+        def _hop(prev):
+            # pointer jumping (r6): label ← label(label). Every label value
+            # is itself a vertex id with a row (labels start as self-ids
+            # and only existing ids propagate), so the inner join is
+            # total; labels stay non-increasing (label(v) ≤ v invariant),
+            # so the fixpoint check stays monotone-sound. Interleaving
+            # hops with edge propagation collapses long chains in
+            # O(log diameter) rounds instead of O(diameter) — the sf1.0
+            # simhash dup graph has ~20-step chains and spent 5 spill
+            # windows walking them one hop of knowledge per step. The
+            # self-join references prev twice, so plan size per window is
+            # bounded by 2^(hops per window) — capped by steps_per_spill.
+            l2 = prev.select(F.col("id").alias("_hid"),
+                             F.col("label").alias("_hlb"))
+            return (prev.join(l2, prev["label"] == l2["_hid"])
+                    .select("id", F.col("_hlb").alias("label")))
+
         taken = 0
         window = 0
         changed = True
         while changed and taken < max_iters:
             steps = min(steps_per_spill, max_iters - taken)
             cur = labels
-            for _ in range(steps):
-                cur = (
-                    selfed.join(
-                        cur.select(F.col("id").alias("src"), "label"), "src")
-                    .select(F.col("dst").alias("id"), "label")
-                    .groupBy("id").agg(F.min("label").alias("label"))
-                )
+            for s in range(steps):
+                prev = cur
+                # step 1 is a pointer-jump, every other step propagates
+                # (the LAST step must propagate so chg==false ⟺
+                # propagation fixpoint). Measured on the sf1.0 simhash dup
+                # graph: min labels mostly arrive ALONG EDGES (new smaller
+                # labels keep appearing at the frontier), so propagation
+                # count per window is what buys convergence; one hop
+                # still collapses settled chains cheaply, more hops
+                # displace propagates and SLOWED convergence (5 windows
+                # for p,h,h,p vs 4 for p,h,p,p at steps_per_spill=4).
+                if s == 1 and steps > 2:
+                    cur = _hop(prev)
+                else:
+                    cur = _propagate(prev)
             taken += steps
             window += 1
             (cur
-                .join(labels.select("id", F.col("label").alias("old")), "id")
+                .join(prev.select("id", F.col("label").alias("old")), "id")
                 .select("id", "label",
                         (F.col("label") != F.col("old")).alias("chg"))
                 .write.mode("overwrite").parquet(_round_path(window)))

@@ -286,6 +286,82 @@ FROM orders GROUP BY 1
 _PK_RANGE_FRACS = [i / 8.0 for i in range(1, 8)]
 
 
+def _exact_quantile_bounds(df: DataFrame, key_col: str,
+                           fracs: list[float]) -> list[int] | None:
+    """floor() of the exact continuous quantiles of a numeric column,
+    computed by DISTRIBUTED SELECTION instead of Spark's `percentile`
+    aggregate (r6, guide §2/§5): the exact aggregate builds a value→count
+    map of ALL distinct keys and merges it in ONE task — O(distinct)
+    memory and the dominant cost of snapshot_pk_ranges (6-7 s at sf1.0
+    for 1.5M keys regardless of scan width). Here the keys are
+    range-partitioned (a parallel exchange), per-partition counts locate
+    which partition holds each needed order statistic, and one more job
+    sorts ONLY within those partitions to read the ranked values —
+    per-task memory is a partition slice, never the key space.
+
+    Value parity: quantile_cont interpolation at the needed ranks is
+    reproduced driver-side with the same IEEE-double expression Spark's
+    Percentile.getPercentile evaluates ((hi−pos)·v_lo + (pos−lo)·v_hi);
+    for dyadic fracs over integer keys every term is exact in a double
+    (≤3 fractional bits, magnitudes « 2^50), so the result is the exact
+    rational — bit-equal to both Spark's aggregate and the DuckDB
+    oracle. Returns None for an empty input."""
+    import math
+
+    from pyspark import StorageLevel
+
+    n = df.count()
+    if n == 0:
+        return None
+    positions = [f * (n - 1) for f in fracs]
+    need = sorted({int(math.floor(p)) for p in positions}
+                  | {int(math.ceil(p)) for p in positions})
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    d = (df.select(F.col(key_col).alias("_k"))
+         .repartitionByRange(par, F.col("_k"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        # persist pins the range partitioner's sampled boundaries: both
+        # jobs below must see the SAME partition layout
+        pc = {r["_p"]: r["n"] for r in
+              d.groupBy(F.spark_partition_id().alias("_p"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        starts, acc = {}, 0
+        for p in range(max(pc) + 1 if pc else 0):
+            starts[p] = acc
+            acc += pc.get(p, 0)
+        want: dict[int, list[tuple[int, int]]] = {}
+        for k in need:
+            for p, s in starts.items():
+                if s <= k < s + pc.get(p, 0):
+                    want.setdefault(p, []).append((k - s, k))
+                    break
+        local = [lr for rs in want.values() for lr, _ in rs]
+        w = W.partitionBy("_p").orderBy("_k")
+        rows = (
+            d.withColumn("_p", F.spark_partition_id())
+            .filter(F.col("_p").isin(list(want)))
+            .withColumn("_r", F.row_number().over(w) - 1)
+            .filter(F.col("_r").isin(local))
+            .collect()
+        )
+    finally:
+        d.unpersist()
+    val = {}
+    for r in rows:
+        for lr, k in want.get(r["_p"], []):
+            if lr == r["_r"]:
+                val[k] = r["_k"]
+    out = []
+    for pos in positions:
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        q = (float(val[lo]) if lo == hi
+             else (hi - pos) * float(val[lo]) + (pos - lo) * float(val[hi]))
+        out.append(int(math.floor(q)))
+    return out
+
+
 def pk_range_chunks(df: DataFrame, key_col: str, n_chunks: int = 8,
                     exact: bool = True, accuracy: int = 10_000) -> DataFrame:
     """PK-range splitter operator: equal-depth half-open chunks
@@ -293,11 +369,10 @@ def pk_range_chunks(df: DataFrame, key_col: str, n_chunks: int = 8,
     map-only chunk assignment (reference:
     DatabaseReadPartitionSplitter.java:137-230 splitByRange).
 
-    exact=True uses Spark's exact `percentile` — bit-reproducible (and
-    DuckDB-oracle-matchable), but its aggregation buffer holds a
-    value→count map of ALL distinct keys, so the final partial-merge
-    task needs O(distinct) memory: fine at sandbox scale, NOT the
-    10^10-key shape. exact=False is the scale path: `percentile_approx`
+    exact=True (oracle-parity mode) discovers boundaries by distributed
+    selection — see _exact_quantile_bounds; per-task memory is a range
+    slice, so exact mode is no longer the O(distinct)-in-one-task shape
+    it was through r5. exact=False keeps `percentile_approx`
     (Greenwald-Khanna sketch, memory bounded by `accuracy`, mergeable
     map-side partials — the distributed analog of the reference's
     recursive min/max sampling). Both modes emit the identical chunk
@@ -305,15 +380,22 @@ def pk_range_chunks(df: DataFrame, key_col: str, n_chunks: int = 8,
     error (≤ n/accuracy)."""
     o = df.select(key_col)
     fracs = [i / float(n_chunks) for i in range(1, n_chunks)]
-    pct = (
-        F.percentile(F.col(key_col), F.lit(fracs)) if exact
-        else F.percentile_approx(F.col(key_col), F.lit(fracs), F.lit(accuracy))
-    )
-    bounds = o.agg(
-        F.transform(pct, lambda x: F.floor(x).cast("bigint")).alias("bs")
-    )
+    if exact:
+        bs = _exact_quantile_bounds(o, key_col, fracs)
+        bounds_col = (
+            F.lit(None).cast("array<bigint>") if bs is None
+            else F.expr("array({})".format(
+                ", ".join(f"{b}L" for b in bs)))
+        )
+        assigned = o.withColumn("bs", bounds_col)
+    else:
+        pct = F.percentile_approx(F.col(key_col), F.lit(fracs), F.lit(accuracy))
+        bounds = o.agg(
+            F.transform(pct, lambda x: F.floor(x).cast("bigint")).alias("bs")
+        )
+        assigned = o.join(F.broadcast(bounds))
     return (
-        o.join(F.broadcast(bounds))
+        assigned
         .withColumn(
             "chunk",
             (
