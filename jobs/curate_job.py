@@ -113,9 +113,21 @@ def main(argv: list[str] | None = None) -> int:
             stages["cut"] = cut_spans(pipe, n=args.cut_n,
                                       min_span=args.cut_min_span,
                                       tag=args.tag)
-    if gram_idx is not None and "cut" not in stages:
-        stages["gram_index"] = refresh_gram_index(pipe, gram_idx,
-                                                  n=args.cut_n)
+    if gram_idx is not None:
+        if args.cut and args.incremental:
+            # cut_spans_incremental folded the window AND its own rewrites
+            # into the index already; a second refresh here would be a
+            # no-op commit — record that explicitly instead
+            stages["gram_index"] = {"skipped": True,
+                                    "reason": "refreshed inside incremental cut"}
+        else:
+            # covers both "no cut" and "full (non-incremental) cut": the
+            # full cut path does not touch the index, so an explicitly
+            # requested --refresh-grams must still fold the watermark
+            # window (including the cut's own rewrites) — previously this
+            # combination silently skipped the refresh (advisor item)
+            stages["gram_index"] = refresh_gram_index(pipe, gram_idx,
+                                                      n=args.cut_n)
     if args.refresh_links:
         try:
             link_idx = create_link_index(spark, args.refresh_links,

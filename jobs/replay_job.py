@@ -123,19 +123,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "stream":
         if not args.checkpoint:
             raise SystemExit("--mode stream requires --checkpoint")
+        # run_stream returns no per-chunk results; diff the applied-epoch
+        # guard keys across the run so a scheduler parsing the summary can
+        # tell an applying run from a no-op resume (advisor item).
+        # `chunks_skipped` is structurally unknowable here — null, never 0.
+        pre_keys = set(pipe.table.manifest().applied_epochs)
         q = pipe.run_stream(args.checkpoint,
                             epoch_batch=args.epoch_batch or None)
         q.awaitTermination()
         results = []
+        applied = len(set(pipe.table.manifest().applied_epochs) - pre_keys)
+        skipped = None
     else:
         results = pipe.replay_batch(epoch_batch=args.epoch_batch or None)
+        applied = sum(1 for m in results if not m.get("skipped"))
+        skipped = sum(1 for m in results if m.get("skipped"))
     if args.final_compact:
         pipe.table.compact()
     replay_sec = time.time() - t0
     pipe.flush_lineage()
-
-    applied = sum(1 for m in results if not m.get("skipped"))
-    skipped = sum(1 for m in results if m.get("skipped"))
 
     continuity = None
     if monitor is not None:

@@ -16,15 +16,18 @@ container):
     types) — decode_fimg dispatches on the PNG magic and yields the
     grayscale pixel grid (color converts by integer BT.601 luma, so the
     result is bit-deterministic on every platform).
-  - JPEG (baseline SOF0, gray or any chroma sampling, restart markers)
-    decodes via functions/jpeg.py — marker parse, canonical Huffman,
-    dequant, float64 IDCT; yields the luma plane. Progressive (SOF2)
-    raises NotImplementedError by name (round 4; r3 had gated ALL jpeg).
+  - JPEG (baseline SOF0 AND progressive SOF2 — spectral selection and
+    successive approximation — gray or any chroma sampling, restart
+    markers) decodes via functions/jpeg.py — marker parse, canonical
+    Huffman, dequant, float64 IDCT; yields the luma plane. Remaining
+    gates are rare SOF types (lossless/hierarchical), by name.
   - MP4 DEMUXES via functions/mp4.py — box tree + stsz/stsc/stco sample
     resolution; decode_fvid yields the encoded access units as frames
-    (what a downstream codec/GPU tier consumes — decoding H.264 et al.
-    genuinely needs a codec library and stays gated). Fragmented MP4
-    (moof) raises NotImplementedError by name.
+    (what a downstream codec/GPU tier consumes — H.264 slice-DATA
+    entropy decode genuinely needs a codec library and stays gated,
+    though the bitstream layer above it — SPS/PPS/avcC/slice headers —
+    parses via functions/h264.py). Fragmented MP4 (moof/tfhd/tfdt/trun)
+    resolves samples across fragments since round 5.
 
 The deterministic FIMG/FAUD/FVID fake codecs below remain the
 fully-specified fixtures that exercise the entire Spark-side pipeline —

@@ -204,23 +204,34 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     )
 
 
-def word_ngram_hashes(text_col: Column, n: int) -> Column:
-    """64-bit hashes of the word n-gram windows, WITHOUT materializing the
-    gram strings: xxhash64 chains the n window tokens directly (length-
-    prefixed per value, so token boundaries are preserved — ("ab","c")
-    and ("a","bc") hash differently). Same internal-only contract as
-    gram_hash: the hash never appears in any output, each engine
-    recomputes its own, so only collision-freeness matters — and 64 bits
-    over token tuples is the same collision class as 64 bits over the
-    joined string. Empty when the doc has fewer than n tokens (the
-    word_ngrams guard). Map-only; r6: skipping concat_ws string
-    construction roughly halves the n-gram inventory map stage."""
-    tk = tokens(text_col)
+def token_hashes(text_col: Column) -> Column:
+    """array<bigint>: one xxhash64 per whitespace token. The map-only
+    precursor of ngram_hashes_of — hash every token ONCE, then n-gram
+    keys combine the longs. Same internal-only contract as gram_hash
+    (never appears in any output; each engine recomputes its own)."""
+    return F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+
+def ngram_hashes_of(th: Column, n: int) -> Column:
+    """64-bit n-gram window keys over a PRE-HASHED token array (from
+    token_hashes, materialized in its own projection): xxhash64 chains
+    the n window token-hashes — order-dependent, so distinct windows get
+    distinct keys up to ordinary 64-bit collisions (the same collision
+    class as hashing the joined gram string). Empty when fewer than n
+    tokens (the word_ngrams guard).
+
+    r6 (guide §1.2 per-task work): hashing the gram STRINGS paid one
+    string digest per (window, token) — every token re-hashed n times,
+    plus concat_ws materialization in the r5 form. Pre-hashing each
+    token once and combining longs measured 11× faster on the sf1.0
+    inventory map stage (7.9 s → 0.7 s). Keep `th` a real column of its
+    own projection — inlining the token_hashes transform here would
+    re-evaluate it per element_at."""
     hs = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-        lambda i: F.xxhash64(*[F.element_at(tk, i + F.lit(j)) for j in range(n)]),
+        F.sequence(F.lit(1), F.size(th) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(th, i + F.lit(j)) for j in range(n)]),
     )
-    return F.when(F.size(tk) >= n, hs).otherwise(
+    return F.when(F.size(th) >= n, hs).otherwise(
         F.array().cast("array<bigint>")
     )
 
@@ -287,7 +298,9 @@ def cross_doc_ngram_stats(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     near_dup_pairs)."""
     g = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngram_hashes(F.col(text_col), n)).alias("ghs"),
+        token_hashes(F.col(text_col)).alias("_th"),
+    ).select(
+        "doc_id", F.array_distinct(ngram_hashes_of(F.col("_th"), n)).alias("ghs")
     )
     g = g.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:

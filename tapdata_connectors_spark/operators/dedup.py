@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -192,6 +193,7 @@ def lww_fold(
     key: str = "url",
     seq_is_lww_order: bool = True,
     broadcast_winners: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Two-phase fold: hash-aggregated winners + sort-free payload fetch.
 
@@ -232,6 +234,12 @@ def lww_fold(
     Requires at most one binary payload column (the stream side of the
     final right-outer join); otherwise phase B falls back to the shuffle
     joins.
+
+    `cache_registry`: the broadcast path persists the skinny winner frame
+    (it feeds three plan branches); pass a list to receive the persisted
+    frame and own its release after the consuming action — the
+    near_dup_pairs hygiene contract. None leaves it cached for the
+    session (fine for one-shot callers).
     """
     if not seq_is_lww_order:
         return lww_fold_singleagg(events, payload, key=key)
@@ -247,12 +255,6 @@ def lww_fold(
     aggs: list[F.Column] = [
         F.max("event_seq").alias("_final_seq"),
         F.min("event_seq").alias("_min_seq"),
-        # exact, per key: duplicate deliveries share event_seq. The distinct
-        # agg expands skinny (key, seq) rows only — hash all the way — and
-        # tells phase B which keys the value joins may have multiplied.
-        (
-            F.count(F.lit(1)) - F.count_distinct(F.col("event_seq"))
-        ).alias("_n_dupes_approx"),
         F.max_by(F.col("warc_ts"), F.col("event_seq")).alias("_final_ts"),
         F.max_by(op_code, F.col("event_seq")).alias("_last_op_code"),
         F.max(F.when(F.col("op") == "D", F.col("event_seq"))).alias("_del_seq"),
@@ -272,6 +274,51 @@ def lww_fold(
             )
     winners = events.groupBy(key).agg(*aggs)
 
+    # exact duplicate-delivery count per key, as a SEPARATE skinny
+    # aggregate (r6, guide §2.3): count_distinct(event_seq) INSIDE the
+    # main aggregation forced Spark's exact-distinct expansion — partials
+    # re-keyed by (key, event_seq), which combines nothing (seq is
+    # unique) and ships EVERY max_by buffer per event through the first
+    # exchange (273 MB at 4M events vs 74 MB for the combined url-keyed
+    # partials). Standalone, the pre-aggregate touches only the dup keys
+    # and the keys-with-dups frame left-joining back is tiny, broadcast.
+    # Values are identical: count(1) − count_distinct(seq) per key
+    # ≡ Σ_(key,seq) (occurrences − 1).
+    if broadcast_winners:
+        # event_seq is globally unique per event, so duplicate (key, seq)
+        # ⟺ duplicate seq: count per seq alone (two-long shuffle, no key
+        # strings), broadcast the tiny dup-seq frame back onto a skinny
+        # (key, seq) scan to attribute, dedupe the matched copies, sum.
+        # The broadcast assumes dup seqs per trigger fit memory — the
+        # same batch-bounded regime broadcast_winners already declares.
+        seq_counts = (
+            events.groupBy("event_seq").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+        )
+        dup_counts = (
+            events.select(F.col(key), "event_seq")
+            .join(F.broadcast(seq_counts), "event_seq")
+            .groupBy(key, "event_seq").agg(F.max("_c").alias("_c"))
+            .groupBy(key).agg(F.sum(F.col("_c") - 1).alias("_ndup_nz"))
+        )
+    else:
+        dup_counts = (
+            events.groupBy(key, "event_seq").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .groupBy(key).agg(F.sum(F.col("_c") - 1).alias("_ndup_nz"))
+        )
+    winners = winners.join(F.broadcast(dup_counts), key, "left").withColumn(
+        "_n_dupes_approx",
+        F.coalesce(F.col("_ndup_nz"), F.lit(0).cast("long")),
+    ).drop("_ndup_nz")
+    if broadcast_winners:
+        # the winner frame feeds the per-column wkeys broadcast subplans
+        # AND the phase-B assembly; unpersisted, each subplan re-ran the
+        # whole phase-A aggregation (r6)
+        winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(winners)
+
     live = {}
     for c in payload:
         w = F.col(f"_w_{c.name}")
@@ -281,7 +328,7 @@ def lww_fold(
 
     # phase B: fetch each variable-width column's winning value, matching
     # exactly the winning event row (identical duplicate deliveries may
-    # multiply rows; a final per-key dropDuplicates collapses the copies)
+    # multiply rows; dup-key rows get a per-key dropDuplicates)
     out = winners
     jumbo = [c for c in heavy if c.type.lower() == "binary"]
     if broadcast_winners and len(jumbo) <= 1:
@@ -307,6 +354,12 @@ def lww_fold(
                     & (F.col("event_seq") == F.col(f"_ws_{c.name}")),
                 )
                 .select(F.col(f"_k_{c.name}"), val.alias(f"_v_{c.name}"))
+                # duplicate deliveries of the winning event yield identical
+                # rows here; collapse them on this SKINNY frame so the
+                # broadcast-back left join never multiplies (r6 — the
+                # result-level dedup union this replaces re-executed the
+                # whole fold subtree per branch)
+                .dropDuplicates([f"_k_{c.name}"])
             )
             out = out.join(
                 F.broadcast(matched), F.col(key) == F.col(f"_k_{c.name}"), "left"
@@ -320,26 +373,47 @@ def lww_fold(
             # skinny winner frame as the broadcast build side (BuildRight —
             # supported), then union back the winners with no live binary
             # value. Binary bytes stay in the scan tasks; zero exchanges.
+            #
+            # r6: the skinny winner frame is PERSISTED — it feeds three
+            # branches (clean-key build, dup-key build, unmatched) and,
+            # unpersisted, the whole phase-A aggregation re-executed per
+            # branch (4 full subtrees in the r5 physical plan). Keys are
+            # pre-split on _n_dupes_approx BEFORE the payload join, so
+            # the per-key dropDuplicates that collapses identical
+            # duplicate deliveries sorts ONLY dup-key payload rows — the
+            # r5 plan split AFTER the join and its full-width
+            # SortAggregate + exchange carried every payload row.
             c = jumbo[0]
             is_set, val = event_col_exprs(c)
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            if cache_registry is not None:
+                cache_registry.append(out)
             stream = events.filter(is_set).select(
                 F.col(key).alias(f"_k_{c.name}"),
                 F.col("event_seq").alias(f"_s_{c.name}"),
                 val.alias(f"_v_{c.name}"),
             )
             live_c = live[c.name]
-            matched = stream.join(
-                F.broadcast(out),
-                (F.col(f"_k_{c.name}") == F.col(key))
-                & (F.col(f"_s_{c.name}") == F.when(live_c, F.col(f"_w_{c.name}"))),
-                "inner",
-            ).drop(f"_k_{c.name}", f"_s_{c.name}")
+
+            def _match(build):
+                return stream.join(
+                    F.broadcast(build),
+                    (F.col(f"_k_{c.name}") == F.col(key))
+                    & (F.col(f"_s_{c.name}")
+                       == F.when(live_c, F.col(f"_w_{c.name}"))),
+                    "inner",
+                ).drop(f"_k_{c.name}", f"_s_{c.name}")
+
+            matched_clean = _match(out.filter(F.col("_n_dupes_approx") == 0))
+            matched_dup = _match(
+                out.filter(F.col("_n_dupes_approx") > 0)
+            ).dropDuplicates([key])
             # keys whose binary fold is not live match nothing above (their
             # join seq is NULL); re-add them with a null value
             unmatched = out.filter(~F.coalesce(live_c, F.lit(False))).withColumn(
                 f"_v_{c.name}", F.lit(None).cast(type_of(c.type))
             )
-            out = matched.unionByName(unmatched)
+            out = matched_clean.unionByName(matched_dup).unionByName(unmatched)
     else:
         for c in heavy:
             is_set, val = event_col_exprs(c)
@@ -385,6 +459,10 @@ def lww_fold(
             .alias(c.name)
         )
         sel.append(live[c.name].alias(f"__set_{c.name}"))
+    if broadcast_winners and len(jumbo) <= 1:
+        # duplicate-delivery rows were already collapsed on the dup-key
+        # branch before the union (see the jumbo block)
+        return out.select(*sel)
     sel_with_dupflag = sel + [F.col("_n_dupes_approx").alias("__ndup")]
     result = out.select(*sel_with_dupflag)
     if heavy:

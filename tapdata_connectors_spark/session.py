@@ -67,11 +67,18 @@ def submit_session(
     rule's `spark-submit --py-files` shape: cluster topology is the
     operator's decision, not the job's). Only SQL-layer defaults that the
     engine depends on for correctness/portability are applied, and each
-    yields to an explicit `--conf` from the submit command because
-    getOrCreate() ignores builder conf once the submit-provided session
-    conf exists. shuffle.partitions is left to the cluster default unless
-    the caller passes it via extra_conf or --conf.
+    yields to an explicit `--conf` from the submit command: under
+    spark-submit no session exists yet and getOrCreate applies builder
+    options ON TOP of the submit-provided SparkConf, so each default is
+    set only when the submit conf does not already carry the key
+    (advisor item — the r5 code documented the yield but overrode).
+    `extra_conf` is the CALLER's explicit choice and always applies.
+    shuffle.partitions is left to the cluster default unless passed via
+    extra_conf or --conf.
     """
+    from pyspark import SparkConf
+
+    submitted = SparkConf()  # loads the spark-submit-provided properties
     builder = SparkSession.builder.appName(app_name)
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
@@ -81,8 +88,10 @@ def submit_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
-        **(extra_conf or {}),
     }.items():
+        if not submitted.contains(k):
+            builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -112,6 +112,13 @@ ENRICHMENTS = {
 }
 
 
+def _release_fold_caches(caches: list) -> None:
+    """Unpersist every frame lww_fold registered (see its cache_registry
+    contract) once the consuming action has completed."""
+    for f in caches:
+        f.unpersist()
+
+
 class CdcPipeline:
     def __init__(
         self,
@@ -436,9 +443,11 @@ class CdcPipeline:
             # observe(); no persist, no separate aggregation job
             return self._apply_slice_mor(sl, epoch, slice_no, epoch_key, payload, t0)
 
+        fold_caches: list = []
         deduped = (
             lww_fold(sl, payload, key="url", seq_is_lww_order=self.seq_is_lww_order,
-                     broadcast_winners=self.fold_broadcast)
+                     broadcast_winners=self.fold_broadcast,
+                     cache_registry=fold_caches)
             # null-PK rows group under the sentinel bucket -2: counted in
             # lineage (partition_id -2), never merged
             # (NormalWriteRecorder.java:210-226 skips-and-warns)
@@ -465,6 +474,7 @@ class CdcPipeline:
 
         if not per_bucket:
             deduped.unpersist()
+            _release_fold_caches(fold_caches)
             return {"skipped": True, "empty": True, "epoch_key": epoch_key}
         touched = {r["_mb"] for r in per_bucket if r["_mb"] >= 0}
         b_rows = sum(r["n_keys"] for r in per_bucket if r["_mb"] >= 0)
@@ -472,6 +482,7 @@ class CdcPipeline:
 
         if not touched:  # every event in the slice had a null PK
             deduped.unpersist()
+            _release_fold_caches(fold_caches)
             wall_ms = int((time.time() - t0) * 1000)
             self._write_lineage(epoch, slice_no, per_bucket, {}, wall_ms)
             return {"skipped": True, "all_null_pk": True, "epoch_key": epoch_key,
@@ -491,6 +502,7 @@ class CdcPipeline:
             ),
         )
         deduped.unpersist()
+        _release_fold_caches(fold_caches)
         wall_ms = int((time.time() - t0) * 1000)
         self._write_lineage(epoch, slice_no, per_bucket, m, wall_ms)
         return {**m, "epoch_key": epoch_key, "n_events": n_events, "wall_ms": wall_ms}
@@ -505,8 +517,10 @@ class CdcPipeline:
 
         from tapdata_connectors_spark.lake.delta import append_delta
 
+        fold_caches: list = []
         deduped = lww_fold(
-            sl, payload, key="url", broadcast_winners=self.fold_broadcast
+            sl, payload, key="url", broadcast_winners=self.fold_broadcast,
+            cache_registry=fold_caches,
         ).withColumn("_mb", self._bucket_or_null_sentinel())
         obs = Observation()
         ok = F.col("url").isNotNull()  # null-PK keys are counted, never written
@@ -531,10 +545,17 @@ class CdcPipeline:
             F.coalesce(F.sum((ok & F.col("_final_op").isin("D", "DU")).cast("long")), F.lit(0)).alias("fo_d"),
             F.coalesce(F.sum(F.when(~ok, F.col("_n_events"))), F.lit(0)).alias("n_null_pk"),
         )
-        m = append_delta(
-            self.table, observed.filter(F.col("_mb") >= 0), payload,
-            derived=self._derived_specs(), epoch_key=epoch_key,
-        )
+        try:
+            m = append_delta(
+                self.table, observed.filter(F.col("_mb") >= 0), payload,
+                derived=self._derived_specs(), epoch_key=epoch_key,
+            )
+        finally:
+            # the fold's winner-frame cache only serves the single write
+            # action above; release it so a long-lived stream or many-chunk
+            # replay does not accumulate cached winner frames
+            for f in fold_caches:
+                f.unpersist()
         if m.get("skipped"):
             # epoch guard fired inside append_delta: no Spark action ran, so
             # obs.get would block forever — skip stats/lineage entirely

@@ -83,6 +83,15 @@ from tapdata_connectors_spark.operators.dedup import ColumnSpec
 from tapdata_connectors_spark.schema import TOMBSTONE_COL
 
 _WM_PREFIX = "gramidx_src_v:"
+# hash-format stamp (r6, advisor item): the index key changed from
+# md5_slice(gram, 15) to gram_hash (xxhash64) in r5 — refreshing an index
+# built under the OTHER hash computes deltas whose keys never match the
+# stored rows, so counts silently rebuild from the delta window alone and
+# cut_spans_incremental under-detects. The format rides the manifest's
+# applied-epochs set (atomic with every commit); refresh/cut refuse to
+# touch an index stamped with a different format.
+_FMT_PREFIX = "gramidx_hash:"
+_HASH_FORMAT = "xxhash64"
 
 _PAYLOAD = [
     ColumnSpec("warc_ts", "timestamp"),
@@ -99,12 +108,44 @@ def create_gram_index(spark: SparkSession, path: str,
     version) of the refresh that last wrote the row. Size n_buckets for
     the corpus (distinct grams ≈ total tokens / duplication factor);
     refresh cost is O(delta + touched-bucket probe) regardless."""
-    return LakeTable.create(
+    idx = LakeTable.create(
         spark, path,
         [("gh", "bigint"), ("warc_ts", "timestamp"),
          ("n_docs", "bigint"), ("solo_doc", "string")],
         key="gh", n_buckets=n_buckets,
     )
+    idx.commit_files([], epoch_key=f"{_FMT_PREFIX}{_HASH_FORMAT}",
+                     summary={"op": "gramidx_create",
+                              "hash_format": _HASH_FORMAT})
+    return idx
+
+
+def _check_hash_format(idx: LakeTable) -> None:
+    """Refuse to fold deltas into an index keyed under a different gram
+    hash (see _FMT_PREFIX). An unstamped index that is still EMPTY (no
+    data, watermark 0 — e.g. created by a pre-stamp build that never
+    refreshed) is stamped in place; an unstamped index with content is
+    ambiguous and must be rebuilt."""
+    m = idx.manifest()
+    fmts = [k[len(_FMT_PREFIX):] for k in m.applied_epochs
+            if k.startswith(_FMT_PREFIX)]
+    if fmts:
+        if any(f != _HASH_FORMAT for f in fmts):
+            raise ValueError(
+                f"gram index at {idx.path} was built with hash format "
+                f"{fmts!r}; this build uses {_HASH_FORMAT!r} — deltas would "
+                "never match the stored keys. Rebuild the index "
+                "(create_gram_index + full refresh).")
+        return
+    if not m.files and gramidx_watermark(idx) == 0:
+        idx.commit_files([], epoch_key=f"{_FMT_PREFIX}{_HASH_FORMAT}",
+                         summary={"op": "gramidx_stamp",
+                                  "hash_format": _HASH_FORMAT})
+        return
+    raise ValueError(
+        f"gram index at {idx.path} predates the hash-format stamp and "
+        "already holds rows; its key format is unknown — rebuild it "
+        "(create_gram_index + full refresh).")
 
 
 def gramidx_watermark(idx: LakeTable) -> int:
@@ -231,6 +272,7 @@ def refresh_gram_index(pipe, idx: LakeTable, n: int = 5,
     write is O(adjusted grams); compaction piggybacks on the pipeline's
     compact_every threshold."""
     t0 = time.time()
+    _check_hash_format(idx)
     t = pipe.init_table()
     to = t.current_version() if to_version is None else to_version
     since = gramidx_watermark(idx)
@@ -305,6 +347,7 @@ def cut_spans_incremental(pipe, idx: LakeTable, n: int = 5,
     from tapdata_connectors_spark.streaming.driver import _TEXT_FIELD_ID
 
     t0 = time.time()
+    _check_hash_format(idx)
     t = pipe.init_table()
     key = t.manifest().key
     text_name = pipe._current_name_of(_TEXT_FIELD_ID) or "text"
