@@ -13,6 +13,7 @@ Usage:
   --reps N       repetitions per query (default 1; min is reported)
   --plans SUF    also write plans/r06/<query>_<SUF>.txt explain output
   --noop         additionally time a noop-sink write (guide §1.4) per query
+  --aux          time the AUX registry (AUX_QUERIES) instead of QUERIES
   q1 q2 ...      subset of query names (default: all)
 
 Prints one JSON line {"sf":..., "queries": {name: sec}} (min over reps).
@@ -30,12 +31,12 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    from tapdata_connectors_spark.queries import QUERIES
+    from tapdata_connectors_spark.queries import AUX_QUERIES, QUERIES
     from tapdata_connectors_spark.session import build_session
 
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
-    reps, plans_suffix, do_noop = 1, None, False
+    reps, plans_suffix, do_noop, do_aux = 1, None, False, False
     names: list[str] = []
     i = 0
     while i < len(args):
@@ -48,10 +49,13 @@ def main() -> None:
             plans_suffix = args[i + 1]; i += 2
         elif a == "--noop":
             do_noop = True; i += 1
+        elif a == "--aux":
+            do_aux = True; i += 1
         else:
             names.append(a); i += 1
+    registry = AUX_QUERIES if do_aux else QUERIES
     if not names:
-        names = list(QUERIES)
+        names = list(registry)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(f"local[{cpus}]", shuffle_partitions=cpus,
@@ -69,7 +73,7 @@ def main() -> None:
     out: dict[str, float] = {}
     noop_out: dict[str, float] = {}
     for name in names:
-        fn = QUERIES[name]
+        fn = registry[name]
         samples = []
         for r in range(reps):
             spark.sparkContext.setJobDescription(f"{name} rep{r}")

@@ -108,6 +108,27 @@ def hyperplane_bucket(v: Column, n_planes: int = 8,
     return out.cast("bigint")
 
 
+def _plan_barrier(c: Column) -> Column:
+    """Pushdown barrier for an EXPENSIVE computed integer column (r6,
+    guide §4.4): joining/filtering on a computed key makes Catalyst push
+    the join's `isnotnull(key)`/equality predicates below the projection,
+    where they re-derive the whole expression tree — the same double
+    evaluation the guide documents for UDFs, but for built-in expression
+    trees. Worse, the rewritten predicate pushes below _t's widening
+    repartition into the narrow scan stage, so the duplicated assignment
+    runs single-threaded (measured: the IVF-PQ probe join re-ran the
+    centroid assignment below the Exchange on 1-2 cores, 1.0 s → 3.3 s
+    for the encode stage at sf1.0). Adding a non-deterministic ZERO
+    (`rand()·0` cast to long) makes the projection non-pushable, so
+    predicates evaluate ON the computed attribute above it. The VALUE is
+    unchanged and deterministic — rand() ∈ [0,1), so the term is exactly
+    0 on every evaluation, retries included; only the optimizer's
+    reordering license changes. (A `when(rand() >= -1, c)` guard does
+    NOT work: Spark 4's optimizer knows rand's range and folds it away.)
+    """
+    return c + (F.rand() * F.lit(0.0)).cast("long")
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
     """Fixed vector width, probed from the first non-null row — a
     bounded one-row metadata job (the same discipline as the broadcast-
@@ -131,6 +152,10 @@ def ann_lsh_topk(df: DataFrame, n_queries: int = 3, k: int = 5,
         F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
     ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes,
                                              dim=_vec_dim(df, vec_col)))
+    # NB: no _plan_barrier here — the 4-plane bucket expression is cheap
+    # enough that the join's pushed-down re-derivation measured within
+    # noise of the barrier plan (A/B'd at sf1.0, ~1.0 s both ways);
+    # the barrier is reserved for the expensive IVF/PQ assignments
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"),
@@ -382,7 +407,11 @@ def ann_ivf_topk(df: DataFrame, centroids: list[list[int]],
     base = df.select(
         F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
     )
-    assigned = base.withColumn("cid", assign_col(F.col("v"), centroids)["cid"])
+    # cid behind a _plan_barrier: the probe join's pushed-down
+    # isnotnull/equality predicates would otherwise re-derive the whole
+    # assignment expression below the projection (guide §4.4, r6)
+    assigned = base.withColumn(
+        "cid", _plan_barrier(assign_col(F.col("v"), centroids)["cid"]))
     # nprobe nearest centroids per query, computed DRIVER-side from the
     # collected query vectors (bounded O(n_queries·dim) — the same
     # discipline as the collected centroid seeds; distance then centroid
@@ -402,8 +431,13 @@ def ann_ivf_topk(df: DataFrame, centroids: list[list[int]],
     qp = df.sparkSession.createDataFrame(
         qp_rows, "query_id long, qv array<bigint>, cid bigint"
     )
+    # the probed list ids are known driver-side — prune the corpus to
+    # probed inverted lists BEFORE the join (evaluates on the barrier
+    # attribute, never re-deriving the assignment; work ∝ probed lists)
+    probed = sorted({cid for _, _, cid in qp_rows})
     cand = (
-        assigned.join(F.broadcast(qp), "cid")
+        assigned.filter(F.col("cid").isin(probed))
+        .join(F.broadcast(qp), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("dot", int_dot(F.col("qv"), F.col("v")))
     )
@@ -592,11 +626,6 @@ def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
     base = df.select(
         F.col(id_col).alias("vec_id"), scaled_vec(F.col(vec_col)).alias("v")
     )
-    corpus = base.select(
-        "vec_id",
-        assign_col(F.col("v"), centroids)["cid"].alias("cid"),
-        pq_codes_col(F.col("v"), codebooks).alias("codes"),
-    )
     qrows = (base.filter(F.col("vec_id") < n_queries)
              .select("vec_id", "v").collect())
     qp_rows = []
@@ -616,6 +645,21 @@ def ann_ivfpq_topk(df: DataFrame, centroids: list[list[int]],
             qp_rows.append((r["vec_id"], adc, cid))
     qp = df.sparkSession.createDataFrame(
         qp_rows, "query_id long, adc array<array<bigint>>, cid bigint"
+    )
+    # r6 plan (guide §4.4 + §2.3): cid behind a _plan_barrier so the
+    # probe join's pushed predicates evaluate on the attribute instead of
+    # re-deriving the assignment; the probed list ids are known
+    # driver-side, so the corpus is pruned to probed inverted lists
+    # BEFORE PQ-encoding — codes are computed only for candidate rows
+    # (search work ∝ probed lists, the FAISS invariant), measured
+    # 4.1 s → ~1.3 s on the encode+join stage at sf1.0.
+    probed = sorted({cid for _, _, cid in qp_rows})
+    corpus = (
+        base.withColumn(
+            "cid", _plan_barrier(assign_col(F.col("v"), centroids)["cid"]))
+        .filter(F.col("cid").isin(probed))
+        .select("vec_id", "cid",
+                pq_codes_col(F.col("v"), codebooks).alias("codes"))
     )
     cand = (
         corpus.join(F.broadcast(qp), "cid")

@@ -63,22 +63,29 @@ _MD5_SLICE_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 # ---------------------------------------------------------------------------
 
 def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-writer-wins dedup per key — the north rule's window/row_number
-    shape (operators/dedup.py is the production fold; this is the same
-    semantics expressed as the canonical window for the oracle gate).
-    Reference analog: ON DUPLICATE KEY UPDATE last-write
-    (MysqlWriteRecorder.java:60-65)."""
+    """Last-writer-wins dedup per key (operators/dedup.py is the
+    production fold; this is the registry/oracle entry for the same
+    semantics). Reference analog: ON DUPLICATE KEY UPDATE last-write
+    (MysqlWriteRecorder.java:60-65).
+
+    r6 plan (guide §2.3 "aggregate before you shuffle"): max over
+    struct(ts, event_id, payload) with map-side partial combine replaces
+    the window/row_number formulation — the window shuffled EVERY event
+    row to its key partition and sorted there; the aggregate ships one
+    partial winner per (key, map task), so shuffle rows ∝ keys·tasks,
+    not events. (ts, event_id) is a total order (event_id unique), so
+    the lexicographic struct max picks exactly the rn=1 row and the
+    payload fields never decide a comparison — row-identical output."""
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    s = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.groupBy("user_id").agg(s)
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_op"),
-            F.col("value").alias("last_value"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_op"),
+            F.col("s.value").alias("last_value"),
         )
     )
 
@@ -112,12 +119,13 @@ def q_cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """insert policy ignore_on_exists (WritePolicyEnum.java:5, INSERT IGNORE
     MysqlWriteRecorder.java:67-81): first event per key wins."""
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # min(struct) with map-side combine — same §2.3 shape as
+    # q_cdc_lww_dedup, first (ts, event_id) instead of last
+    s = F.min(F.struct("ts", "event_id", "event_type")).alias("s")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_id").alias("first_event_id"),
-                F.col("event_type").alias("first_op"))
+        ev.groupBy("user_id").agg(s)
+        .select("user_id", F.col("s.event_id").alias("first_event_id"),
+                F.col("s.event_type").alias("first_op"))
     )
 
 
@@ -2157,39 +2165,40 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification over the events table for the SQL oracle gate:
     replica state at ts<2024-01-16 vs final state, full-outer join on the
     key, insert/update/delete per key (delete rows carry the preimage)."""
+    # r6 plan (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the r5 formulation ran TWO window passes over events
+    # (old state pre-cut, new state full) and full-outer-joined them —
+    # three shuffles of event-width rows. Both states are per-user
+    # (ts, event_id)-max folds of the SAME table, so ONE aggregation
+    # computes both winners per user (the old-state winner under a
+    # ts<cut guard) with map-side partial combine; the old/new compare
+    # then happens within the row — no join at all. max ignores the
+    # NULLs the guard produces, and (ts, event_id) is a total order, so
+    # both structs are exactly the rn=1 rows of the r5 windows.
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-
-    def state(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-            .select("user_id", "event_id", "event_type", "value")
-        )
-
-    old = state(ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
-    new = state(ev)
-    o = old.select(
-        F.col("user_id").alias("__k"),
-        *[F.col(c).alias(f"__o_{c}") for c in ("event_id", "event_type", "value")],
+    cut = F.lit("2024-01-16").cast("timestamp")
+    s = F.struct("ts", "event_id", "event_type", "value")
+    agg = ev.groupBy("user_id").agg(
+        F.max(s).alias("n_s"),
+        F.max(F.when(F.col("ts") < cut, s)).alias("o_s"),
     )
-    n = new.select(
-        F.col("user_id").alias("__k"),
-        *[F.col(c).alias(f"__n_{c}") for c in ("event_id", "event_type", "value")],
-    )
-    j = o.join(n, "__k", "full_outer")
+    # a state "exists" iff its winning event is present and not a delete
+    # ('error') — the r5 windows dropped those rows after ranking
+    o_live = F.col("o_s").isNotNull() & (F.col("o_s.event_type") != "error")
+    n_live = F.col("n_s").isNotNull() & (F.col("n_s.event_type") != "error")
     ctype = (
-        F.when(F.col("__o_event_id").isNull(), F.lit("insert"))
-        .when(F.col("__n_event_id").isNull(), F.lit("delete"))
-        .when(F.col("__o_event_id") == F.col("__n_event_id"), F.lit(None))
-        .otherwise(F.lit("update"))
+        F.when(~o_live & n_live, F.lit("insert"))
+        .when(o_live & ~n_live, F.lit("delete"))
+        .when(o_live & n_live
+              & (F.col("o_s.event_id") != F.col("n_s.event_id")),
+              F.lit("update"))
     )
-    j = j.withColumn("change_type", ctype).filter(F.col("change_type").isNotNull())
+    j = agg.withColumn("change_type", ctype).filter(F.col("change_type").isNotNull())
     pick = lambda c: F.when(  # noqa: E731 — delete rows carry the preimage
-        F.col("change_type") == "delete", F.col(f"__o_{c}")
-    ).otherwise(F.col(f"__n_{c}"))
+        F.col("change_type") == "delete", F.col(f"o_s.{c}")
+    ).otherwise(F.col(f"n_s.{c}"))
     return j.select(
-        F.col("__k").alias("user_id"),
+        "user_id",
         pick("event_id").alias("last_event_id"),
         pick("event_type").alias("last_op"),
         pick("value").alias("last_value"),
