@@ -317,14 +317,6 @@ def _exact_quantile_bounds(df: DataFrame, key_col: str,
     oracle. Returns None for an empty input."""
     import math
 
-    from pyspark import StorageLevel
-
-    n = df.count()
-    if n == 0:
-        return None
-    positions = [f * (n - 1) for f in fracs]
-    need = sorted({int(math.floor(p)) for p in positions}
-                  | {int(math.ceil(p)) for p in positions})
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     d = (df.select(F.col(key_col).alias("_k"))
@@ -336,6 +328,16 @@ def _exact_quantile_bounds(df: DataFrame, key_col: str,
         pc = {r["_p"]: r["n"] for r in
               d.groupBy(F.spark_partition_id().alias("_p"))
               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # total row count derived from the per-partition counts — the r6
+        # predecessor ran a SEPARATE df.count() full-scan job for a value
+        # this collect already carries (guide §1.2: don't compute things
+        # twice)
+        n = sum(pc.values())
+        if n == 0:
+            return None
+        positions = [f * (n - 1) for f in fracs]
+        need = sorted({int(math.floor(p)) for p in positions}
+                      | {int(math.ceil(p)) for p in positions})
         starts, acc = {}, 0
         for p in range(max(pc) + 1 if pc else 0):
             starts[p] = acc
