@@ -29,7 +29,8 @@ from pyspark.sql import Window as W
 from tapdata_connectors_spark.operators import corpus
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       widen: bool = True) -> DataFrame:
     """Table loader with scale-adaptive scan widening (r6, guide §2.5
     "input skew"/§6): the sf parquet inputs are single files with 1-6 row
     groups, and a row group is unsplittable — so every map-heavy stage
@@ -39,8 +40,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exchange of the raw rows (a few MB here) widens everything downstream;
     at real scale (thousands of row groups) the condition is false and
     this is a no-op. Filters still push into the scan: Catalyst moves
-    deterministic predicates below Repartition."""
+    deterministic predicates below Repartition.
+
+    `widen=False` (r6, guide §2.3 "aggregate before you shuffle"): for
+    REDUCE-ONLY queries — scan straight into an aggregation (or a
+    pushed filter / TakeOrdered) with no expensive per-row map work —
+    the widening exchange ships every raw row only for the partial
+    aggregate to collapse them right after; letting the partial agg run
+    inside the (narrow) scan stage and shuffling the combined partials
+    is strictly less data movement. A/B at sf1.0 (1M events): LWW fold
+    0.30 s narrow vs 0.56 s widened, epoch batching 0.26 vs 0.63. Keep
+    the default for anything scan-fused map-heavy (tokenize/md5/codec)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not widen:
+        return df
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
@@ -77,7 +90,7 @@ def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not events. (ts, event_id) is a total order (event_id unique), so
     the lexicographic struct max picks exactly the rn=1 row and the
     payload fields never decide a comparison — row-identical output."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     s = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
     return (
         ev.groupBy("user_id").agg(s)
@@ -119,7 +132,7 @@ SQL_CDC_APPLY_UPSERT = SQL_CDC_LWW_DEDUP.replace(
 def q_cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """insert policy ignore_on_exists (WritePolicyEnum.java:5, INSERT IGNORE
     MysqlWriteRecorder.java:67-81): first event per key wins."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     # min(struct) with map-side combine — same §2.3 shape as
     # q_cdc_lww_dedup, first (ts, event_id) instead of last
     s = F.min(F.struct("ts", "event_id", "event_type")).alias("s")
@@ -143,7 +156,7 @@ def q_cdc_epoch_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch grouping + per-epoch lineage counters — the
     TapEventCollector 1000-record batcher (TapEventCollector.java:24-25) and
     our lineage table (streaming/driver.py)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     return (
         ev.withColumn("epoch", (F.col("event_id") / F.lit(200)).cast("long"))
         .groupBy("epoch")
@@ -173,7 +186,7 @@ FROM events GROUP BY 1
 def q_cdc_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redelivery accounting (exactlyOnceId dedup, MysqlReader.java:851-854):
     raw vs distinct delivery counts per op."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count_distinct("event_id").alias("n_unique"),
@@ -190,7 +203,7 @@ def q_delete_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-event before-image enrichment: each delete ('error') joined to
     the key's latest earlier non-delete event — the Mongo delete lookup
     cache (MongodbV4StreamReader.java:263-272, MongodbLookupUtil)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     deletes = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("del_event_id"),
         F.col("user_id"),
@@ -256,7 +269,7 @@ def q_snapshot_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-splitter boundary discovery: MIN/MAX/COUNT + piece count at
     maxRecordInPartition=500 (DatabaseReadPartitionSplitter.java:56-64,
     MysqlConnector.java:279-315 minMaxValue)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", widen=False)
     return o.agg(
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
@@ -445,7 +458,7 @@ def q_snapshot_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the operator in exact mode (oracle parity); pk_range_chunks
     exact=False is the bounded-memory 10^10-key sketch path with the
     same chunk contract."""
-    return pk_range_chunks(_t(spark, sf_dir, "orders"), "o_orderkey",
+    return pk_range_chunks(_t(spark, sf_dir, "orders", widen=False), "o_orderkey",
                            n_chunks=8, exact=True)
 
 
@@ -476,7 +489,7 @@ def q_snapshot_with_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). Offset = 1000, page = 200. Pushdown shape: the predicate
     reaches the parquet scan; the sort-limit is a TakeOrdered, never a
     full sort."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", widen=False)
     page = (
         o.filter(F.col("o_orderkey") > 1000)
         .orderBy("o_orderkey")
@@ -527,7 +540,7 @@ FROM documents
 def q_query_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TapAdvanceFilter → match + range operators + sort + limit
     (CommonSqlMaker.java:150-257)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     return (
         ev.filter((F.col("event_type") == "purchase")
                   & (F.col("value") >= 50) & (F.col("value") < 150))
@@ -548,7 +561,7 @@ ORDER BY ts ASC, event_id ASC LIMIT 20
 def q_rownum_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW_NUMBER pagination for offset-less dialects — page 3 of 50 rows
     (CommonSqlMaker.java:259-289, the reference's one window function)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", widen=False)
     w = W.orderBy(F.asc("o_orderkey"))
     return (
         o.withColumn("rowno", F.row_number().over(w))
@@ -567,7 +580,7 @@ FROM (
 
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queryByFilter exact-match point read (CommonDbConnector.java:377-398)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     return ev.filter(F.col("event_id") == 123).select("event_id", "user_id", "event_type", "value")
 
 
@@ -2128,7 +2141,7 @@ def q_resume_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timestampToStreamOffset analog (MysqlConnector.java:760-771,
     MysqlBinlogPositionUtil.findByLessTimestamp): map a wall-clock restart
     point to the first replayable source position."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     return ev.agg(
         F.min(F.when(F.col("ts") >= cut, F.col("event_id"))).alias("resume_seq"),
@@ -2148,7 +2161,7 @@ FROM events
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getTableInfo analog (MysqlConnector.java:774-780): row count +
     deterministic storage-bytes estimate from column widths."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", widen=False)
     bytes_row = (
         F.length(F.col("o_orderstatus")) + F.length(F.col("o_orderpriority"))
         + F.lit(8 * 3) + F.lit(8)
@@ -2186,7 +2199,7 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then happens within the row — no join at all. max ignores the
     # NULLs the guard produces, and (ts, event_id) is a total order, so
     # both structs are exactly the rn=1 rows of the r5 windows.
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     cut = F.lit("2024-01-16").cast("timestamp")
     s = F.struct("ts", "event_id", "event_type", "value")
     agg = ev.groupBy("user_id").agg(
