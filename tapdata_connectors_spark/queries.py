@@ -597,8 +597,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: min doc_id survives per distinct text
     (hash-groupBy; the scale path is a single shuffle on the digest).
     Engine op: operators/corpus.exact_dup_groups (also wired over the lake
-    pages table via streaming/curation.dedup_pages)."""
-    return corpus.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    pages table via streaming/curation.dedup_pages). widen=False (r6):
+    one md5 per row is too little map work to pay the widening exchange
+    for — the digest partial-agg absorbs rows inside the scan stage."""
+    return corpus.exact_dup_groups(_t(spark, sf_dir, "documents",
+                                      widen=False))
 
 
 SQL_DEDUP_EXACT = """
